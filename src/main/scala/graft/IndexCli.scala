@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.WebCorpus
+import graft.index._
+
+/** spark-submit entry point — the engine's user-facing service surface,
+  * mirroring the reference's IPC command set (jvector
+  * jvector-examples/.../IPCService.java:84-97: CREATE/WRITE/BULKLOAD/
+  * OPTIMIZE/SEARCH/MEMORY) as batch subcommands:
+  *
+  *   build <inputParquetOrSynth:N> <indexDir> [chunks]   (BULKLOAD)
+  *   query <indexDir> <k> <query terms...>               (SEARCH)
+  *   compact <indexDir> <outDir> <tombstoneCsv>          (OPTIMIZE)
+  *   stats <indexDir>                                    (MEMORY)
+  *   bench <N> [see Bench.scala for the driver-run harness]
+  *
+  * Input is either a parquet path with (url, text|html, lang) columns or
+  * `synth:N` for the seeded deterministic corpus.
+  */
+object IndexCli {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-index")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    args(0) match {
+      case "build" =>
+        if (args.length < 3) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val input = args(1)
+        val dir = args(2)
+        val chunks = if (args.length > 3) args(3).toInt else 8
+        val corpus =
+          if (input.startsWith("synth:"))
+            WebCorpus.generate(spark, input.stripPrefix("synth:").toLong)
+          else spark.read.parquet(input)
+        val t0 = System.nanoTime()
+        val ix = ResumableBuild.build(spark, corpus, dir, numChunks = chunks)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val manifest = ResumableBuild.readManifest(spark, dir)
+        println(f"built ${ix.stats.numDocs} docs, ${ix.stats.totalTokens} tokens " +
+          f"in $secs%.1f s (${ix.stats.numDocs / secs}%.0f docs/s)")
+        manifest.foreach(m => println(
+          f"  chunk ${m.chunk}: ${m.docs} docs ${m.postings} postings " +
+          f"${m.blocks} blocks ${m.bytes} bytes ${m.elapsedMs} ms ${m.docsPerSec}%.0f docs/s"))
+        spark.stop()
+
+      case "query" =>
+        if (args.length < 4) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val ix = InvertedIndex.load(spark, args(1))
+        val k = args(2).toInt
+        val q = args.drop(3).mkString(" ")
+        val t0 = System.nanoTime()
+        val hits = ix.search(q, k).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"query '$q' top-$k in $ms%.0f ms:")
+        import spark.implicits._
+        val urls = ix.docs.filter($"docId".isin(hits.map(_.getLong(0)).toSeq: _*))
+          .select($"docId", $"url").as[(Long, String)].collect().toMap
+        hits.zipWithIndex.foreach { case (r, i) =>
+          println(f"  ${i + 1}%2d. doc=${r.getLong(0)} score=${r.getDouble(1)}%.4f ${urls.getOrElse(r.getLong(0), "?")}")
+        }
+        spark.stop()
+
+      case "compact" =>
+        if (args.length < 4) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        import spark.implicits._
+        val ix = InvertedIndex.load(spark, args(1))
+        val dead = args(3).split(",").filter(_.nonEmpty).map(_.toLong)
+        val compacted = ix.compact(spark.createDataset(dead.map(java.lang.Long.valueOf).toSeq))
+        compacted.save(args(2))
+        println(s"compacted: ${ix.stats.numDocs} -> ${compacted.stats.numDocs} docs at ${args(2)}")
+        spark.stop()
+
+      case "stats" =>
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val ix = InvertedIndex.load(spark, args(1))
+        val manifest = ResumableBuild.readManifest(spark, args(1))
+        println(s"docs=${ix.stats.numDocs} tokens=${ix.stats.totalTokens} " +
+          f"avgdl=${ix.stats.avgdl}%.2f shards=${ix.stats.numShards} " +
+          s"terms=${ix.dict.count()} blocks=${ix.blocks.count()}")
+        manifest.foreach(m => println(
+          s"  chunk ${m.chunk}: status=${m.status} docs=${m.docs} bytes=${m.bytes}"))
+        spark.stop()
+
+      case other =>
+        System.err.println(s"unknown subcommand: $other")
+        usage(); sys.exit(2)
+    }
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: IndexCli <subcommand>
+      |  build <parquetPath|synth:N> <indexDir> [numChunks]
+      |  query <indexDir> <k> <term> [term...]
+      |  compact <indexDir> <outDir> <docId,docId,...>
+      |  stats <indexDir>""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.core
+
+/** Frozen text kernels: tokenizer, HTML extractor, BM25 scoring math.
+  *
+  * The tokenizer and extractor define the engine's per-row invariants
+  * (BASELINE input_hint: byte-identical extracted text per url) and are
+  * treated as frozen golden code — any change is a format-version bump,
+  * the lesson of the reference's on-disk header versioning
+  * (jvector `graph/disk/Header.java:55-67`).
+  */
+object Text {
+
+  /** Tokenizer: lowercase, split on runs of anything outside [a-z0-9],
+    * drop empties. Deliberately expressible in ANSI SQL
+    * (`string_split_regex(lower(text), '[^a-z0-9]+')`) so the DuckDB
+    * oracle tokenizes identically. */
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Per-doc term frequencies, with docLen = total token count. */
+  def termFreqs(text: String): (Array[(String, Int)], Int) = {
+    val toks = tokenize(text)
+    val m = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) {
+      m.put(toks(i), m.getOrDefault(toks(i), 0) + 1)
+      i += 1
+    }
+    val out = new Array[(String, Int)](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(j) = (e.getKey, e.getValue); j += 1 }
+    // deterministic order (term asc) so downstream fp sums are reproducible
+    scala.util.Sorting.quickSort(out)(Ordering.by(_._1))
+    (out, toks.length)
+  }
+
+  /** Frozen extractor html -> text: strips tags, decodes the five basic
+    * entities, collapses whitespace. Paired with the synthetic corpus
+    * generator so extract(html) == text byte-identically per url (analog of
+    * the reference's golden-format test `TestOnDiskGraphIndex.java:196-213`). */
+  def extract(html: String): String = {
+    val noTags = html.replaceAll("<[^>]*>", " ")
+    val decoded = noTags
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
+    decoded.replaceAll("\\s+", " ").trim
+  }
+
+  // ---------------- BM25 (k1 = 1.2, b = 0.75) ----------------
+  // Single scoring function of the engine, the role VectorSimilarityFunction
+  // plays in the reference (jvector vector/VectorSimilarityFunction.java:37-84).
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — Robertson-Sparck Jones,
+    * always positive. */
+  def idf(df: Long, n: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+  /** Length-normalized tf part, independent of df — what block-max metadata
+    * upper-bounds (query-time bound = idf * partial, the ADC-style
+    * factorization of jvector `pq/PQDecoder.java:38-60`: per-query constants
+    * on the driver, mul/add per posting on executors). */
+  def tfPartial(tf: Int, docLen: Long, avgdl: Double): Double =
+    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * docLen / avgdl))
+
+  def score(tf: Int, docLen: Long, df: Long, n: Long, avgdl: Double): Double =
+    idf(df, n) * tfPartial(tf, docLen, avgdl)
+}

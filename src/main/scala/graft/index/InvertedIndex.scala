@@ -1,0 +1,229 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Text
+
+/** The built index: document-sharded compressed posting blocks + dictionary
+  * + doc metadata + global stats. Search is shard-local Block-Max WAND with
+  * a tiny global top-k merge (SURVEY.md §3.1 "our equivalent": exactly two
+  * boundary crossings — broadcast out, top-k collect back).
+  *
+  * All members are Datasets so Catalyst drives pruning: query-term filters
+  * push down to the parquet scan of `blocks` (term + bucket columns), and
+  * only matching blocks are shuffled to their shard scorer.
+  */
+final case class InvertedIndex(
+    spark: SparkSession,
+    docs: Dataset[DocMeta],
+    blocks: Dataset[Block],
+    dict: Dataset[DictEntry],
+    stats: IndexStats) {
+
+  import spark.implicits._
+
+  /** Driver-side per-query constants: idf + upper bound per term — the
+    * ADC-style precompute (jvector pq/PQDecoder.java:38-60): all per-posting
+    * work at score time is one mul/add. */
+  private def queryPlan(query: String): Map[String, (Double, Double)] = {
+    val terms = Text.tokenize(query).distinct.toSeq
+    if (terms.isEmpty) Map.empty
+    else {
+      val n = stats.numDocs
+      dict.filter($"term".isin(terms: _*)).collect().map { e =>
+        val idf = Text.idf(e.df, n)
+        e.term -> (idf, idf * e.maxPartial)
+      }.toMap
+    }
+  }
+
+  private def emptyResult: DataFrame =
+    spark.emptyDataset[ScoredDoc].toDF()
+
+  /** Exact top-k BM25 (k1=1.2, b=0.75), rank-identical to brute force:
+    * (score desc, docId asc). Optional metadata filter (docs predicate) and
+    * tombstone set (deleted docIds, jvector markNodeDeleted analog:
+    * candidates anti-joined at query time until compaction). */
+  def search(query: String, k: Int,
+             docFilter: Option[Column] = None,
+             tombstones: Option[Dataset[java.lang.Long]] = None): DataFrame = {
+    val plan = queryPlan(query)
+    if (plan.isEmpty || k <= 0) return emptyResult
+    val planB = spark.sparkContext.broadcast(plan)
+    val avgdl = stats.avgdl
+    val kk = k
+
+    val cand = blocks.filter($"term".isin(plan.keys.toSeq: _*))
+
+    val localTopK: Dataset[ScoredDoc] = (docFilter, tombstones) match {
+      case (None, None) =>
+        cand.groupByKey(_.shard).flatMapGroups { (_, it) =>
+          Searcher.wandOnBlocks(it, planB.value, kk, avgdl, Wand.DocFilter.All)
+        }
+      case _ =>
+        // co-locate the accept/deny doc sets with their shard's blocks so
+        // the filter bitmap is built executor-side, never on the driver
+        val allowAll = docFilter.isEmpty
+        val allow = docFilter match {
+          case Some(p) => docs.filter(p).map(d => (d.shard, d.docId, false))
+          case None => spark.emptyDataset[(Int, Long, Boolean)]
+        }
+        val deny = tombstones match {
+          case Some(t) =>
+            docs.join(t.toDF("docId"), Seq("docId"), "left_semi").as[DocMeta]
+              .map(d => (d.shard, d.docId, true))
+          case None => spark.emptyDataset[(Int, Long, Boolean)]
+        }
+        val acc = allow.union(deny)
+        cand.groupByKey(_.shard).cogroup(acc.groupByKey(_._1)) { (_, bIt, aIt) =>
+          val allowSet = new java.util.HashSet[java.lang.Long]()
+          val denySet = new java.util.HashSet[java.lang.Long]()
+          aIt.foreach { case (_, d, isDeny) =>
+            if (isDeny) denySet.add(d) else allowSet.add(d)
+          }
+          val f = new Wand.DocFilter(allowAll, allowSet, denySet)
+          Searcher.wandOnBlocks(bIt, planB.value, kk, avgdl, f)
+        }
+    }
+    // global merge: tiny (numShards × k rows) — TakeOrderedAndProject
+    localTopK.toDF().orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Threshold query: all docs with score >= tau (jvector's similarity
+    * threshold search, GraphSearcher.java:112-115 — exact here). */
+  def searchThreshold(query: String, tau: Double): DataFrame = {
+    val plan = queryPlan(query)
+    if (plan.isEmpty) return emptyResult
+    val planB = spark.sparkContext.broadcast(plan)
+    val avgdl = stats.avgdl
+    blocks.filter($"term".isin(plan.keys.toSeq: _*))
+      .groupByKey(_.shard).flatMapGroups { (_, it) =>
+        Searcher.thresholdOnBlocks(it, planB.value, tau, avgdl)
+      }.toDF()
+  }
+
+  /** Batch search: one shared pass over the candidate blocks scores every
+    * query (jvector's parallel batch driver, SiftSmall.java:92-113, as a
+    * shared-scan: terms of all queries broadcast together). */
+  def searchAll(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val plans = queries.map { case (qid, q) => (qid, queryPlan(q)) }
+      .filter(_._2.nonEmpty)
+    if (plans.isEmpty) return spark.emptyDataset[(Int, Long, Double)]
+      .toDF("queryId", "docId", "score")
+    val plansB = spark.sparkContext.broadcast(plans)
+    val allTerms = plans.flatMap(_._2.keys).distinct
+    val avgdl = stats.avgdl
+    val kk = k
+    val local = blocks.filter($"term".isin(allTerms: _*))
+      .groupByKey(_.shard).flatMapGroups { (_, it) =>
+        val bs = it.toArray
+        plansB.value.iterator.flatMap { case (qid, plan) =>
+          Searcher.wandOnBlocks(bs.iterator, plan, kk, avgdl, Wand.DocFilter.All)
+            .map(sd => (qid, sd.docId, sd.score))
+        }
+      }.toDF("queryId", "docId", "score")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"queryId").orderBy($"score".desc, $"docId".asc)
+    local.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+  }
+
+  /** Compaction (jvector cleanup()/removeDeletedNodes,
+    * GraphIndexBuilder.java:178-207): rewrite blocks dropping tombstoned
+    * docs, recompute dictionary + stats. Returns a new index. */
+  def compact(tombstones: Dataset[java.lang.Long]): InvertedIndex = {
+    val dead = tombstones.collect().toSet // compaction assumes tombstones << corpus
+    val deadB = spark.sparkContext.broadcast(dead)
+    val avgdlOld = stats.avgdl
+    val newDocs = docs.filter(d => !deadB.value.contains(d.docId)).persist()
+    val nd = newDocs.count()
+    val totTok = if (nd == 0) 0L else newDocs.agg(sum($"docLen")).as[Long].head()
+    val newAvg = if (nd == 0) 0.0 else totTok.toDouble / nd
+    // re-encode: decode each block, drop dead ids, re-cut blocks; maxPartial
+    // recomputed under the new avgdl
+    val newBlocks = blocks.flatMap { b =>
+      val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
+      val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
+      val dls = graft.core.Codec.decodeTfs(b.dlBytes)
+      val keep = ids.indices.filter(i => !deadB.value.contains(ids(i)))
+      if (keep.isEmpty) Iterator.empty
+      else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
+        keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray, newAvg))
+    }.persist()
+    val newDict = newBlocks.flatMap { b =>
+      val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
+      Iterator((b.term, b.n.toLong, tfs.map(_.toLong).sum, b.maxPartial))
+    }.groupByKey(_._1).mapGroups { (t, it) =>
+      var df = 0L; var cf = 0L; var mp = 0.0
+      it.foreach { r => df += r._2; cf += r._3; mp = math.max(mp, r._4) }
+      DictEntry(t, df, cf, mp)
+    }
+    val _ = avgdlOld
+    InvertedIndex(spark, newDocs, newBlocks, newDict.persist(),
+      IndexStats(nd, totTok, newAvg, stats.numShards))
+  }
+
+  /** Persist the index as a segment set + manifest dir (jvector
+    * OnDiskGraphIndexWriter analog; format versioned from day one,
+    * Header.java:55-67). Blocks partitioned by term-hash bucket so query
+    * scans prune files by bucket + parquet min/max on term. */
+  def save(dir: String): Unit = {
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/blocks")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    dict.write.mode("overwrite").parquet(s"$dir/dict")
+    Seq(stats).toDS().write.mode("overwrite").json(s"$dir/stats")
+    Seq(("graft-index", IndexBuilder.FormatVersion)).toDF("magic", "version")
+      .write.mode("overwrite").json(s"$dir/format")
+  }
+}
+
+object InvertedIndex {
+  def load(spark: SparkSession, dir: String): InvertedIndex = {
+    import spark.implicits._
+    val fmt = spark.read.json(s"$dir/format").select("version").as[Long].head()
+    require(fmt <= IndexBuilder.FormatVersion, s"unsupported index format v$fmt")
+    val stats = spark.read.json(s"$dir/stats")
+      .selectExpr("cast(numDocs as long) numDocs", "cast(totalTokens as long) totalTokens",
+        "cast(avgdl as double) avgdl", "cast(numShards as int) numShards")
+      .as[IndexStats].head()
+    InvertedIndex(spark,
+      spark.read.parquet(s"$dir/docs").as[DocMeta],
+      spark.read.parquet(s"$dir/blocks").select(
+        "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
+        "docBytes", "tfBytes", "dlBytes", "maxPartial").as[Block],
+      spark.read.parquet(s"$dir/dict").as[DictEntry],
+      stats)
+  }
+}
+
+/** Executor-side glue between Dataset groups and the WAND kernel. */
+object Searcher {
+  /** Group this shard's candidate blocks by term and run BMW. */
+  def wandOnBlocks(it: Iterator[Block], plan: Map[String, (Double, Double)],
+                   k: Int, avgdl: Double, filter: Wand.DocFilter): Iterator[ScoredDoc] = {
+    val byTerm = it.toArray.groupBy(_.term)
+    if (byTerm.isEmpty) Iterator.empty
+    else {
+      val termBlocks = byTerm.toSeq.sortBy(_._1).flatMap { case (t, bs) =>
+        // shared-scan batches pass the union of all queries' terms; skip
+        // blocks of terms this particular query does not contain
+        plan.get(t).map { case (idf, ub) => (idf, ub, bs.sortBy(_.firstDocId)) }
+      }
+      Wand.topK(termBlocks, k, avgdl, filter).iterator
+    }
+  }
+
+  def thresholdOnBlocks(it: Iterator[Block], plan: Map[String, (Double, Double)],
+                        tau: Double, avgdl: Double): Iterator[ScoredDoc] = {
+    val byTerm = it.toArray.groupBy(_.term)
+    if (byTerm.isEmpty) Iterator.empty
+    else {
+      val termBlocks = byTerm.toSeq.sortBy(_._1).flatMap { case (t, bs) =>
+        // shared-scan batches pass the union of all queries' terms; skip
+        // blocks of terms this particular query does not contain
+        plan.get(t).map { case (idf, ub) => (idf, ub, bs.sortBy(_.firstDocId)) }
+      }
+      Wand.threshold(termBlocks, tau, avgdl)
+    }
+  }
+}

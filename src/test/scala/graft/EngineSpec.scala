@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.corpus.WebCorpus
+import graft.index._
+
+/** End-to-end engine tests on the seeded synthetic corpus: the WAND path
+  * must be rank-identical (and score-equal to 1e-9) to the brute-force
+  * Catalyst oracle — the engine's analog of jvector's recall + metamorphic
+  * suites (TestVectorGraph, TestOnDiskGraphIndex incremental ≡ bulk). */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  lazy val corpus = WebCorpus.generate(spark, 1200, seed = 42L, partitions = 8).persist()
+  lazy val index: InvertedIndex =
+    IndexBuilder.build(spark, corpus, IndexBuilder.Options(numShards = 8, rangePartitions = 8))
+
+  // queries hitting head/mid/tail df classes + unknown + repeated terms
+  val queryStrings: Seq[String] = Seq(
+    "t0 t1", "t5 t100 t2000", "t30000 t0", "t7", "t42 t42 t9999",
+    "nosuchterm12345", "t1 t2 t3 t4 t5", "t123 t456 t789",
+    "rare3x0", "t0 t1 t2 nosuchterm t50")
+
+  def engineTopK(q: String, k: Int): Seq[(Long, Double)] = {
+    import spark.implicits._
+    index.search(q, k).select($"docId", $"score").as[(Long, Double)].collect().toSeq
+  }
+
+  lazy val urlMap: Map[Long, String] = {
+    import spark.implicits._
+    index.docs.select($"docId", $"url").as[(Long, String)].collect().toMap
+  }
+  def urlOf(docId: Long): String = urlMap(docId)
+
+  def oracleTopK(qs: Seq[(Int, String)], k: Int): Map[Int, Seq[(String, Double)]] = {
+    import spark.implicits._
+    BruteForce.topK(spark, corpus, "url", "text", qs, k)
+      .orderBy($"queryId", $"rank")
+      .select($"queryId", $"docKey".cast("string"), $"score")
+      .as[(Int, String, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+  }
+
+  test("corpus invariant: extract(html) == text byte-identically per url") {
+    import spark.implicits._
+    val bad = corpus.select($"html", $"text").as[(Array[Byte], String)]
+      .filter { case (h, t) => graft.core.Text.extract(new String(h, "UTF-8")) != t }
+      .count()
+    assert(bad == 0)
+  }
+
+  test("wand top-10 rank-identical to brute-force oracle (all query classes)") {
+    val qs = queryStrings.zipWithIndex.map { case (q, i) => (i, q) }
+    val oracle = oracleTopK(qs, 10)
+    qs.foreach { case (qid, q) =>
+      val got = engineTopK(q, 10).map { case (d, s) => (urlOf(d), s) }
+      val want = oracle.getOrElse(qid, Seq.empty)
+      assert(got.map(_._1) == want.map(_._1), s"rank mismatch for '$q'")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"score mismatch for '$q': $gs vs $ws")
+      }
+    }
+  }
+
+  test("searchAll matches per-query search") {
+    import spark.implicits._
+    val qs = queryStrings.take(5).zipWithIndex.map { case (q, i) => (i, q) }
+    val batch = index.searchAll(qs, 10)
+      .select($"queryId", $"docId", $"score")
+      .as[(Int, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(t => (t._2, t._3))).toMap
+    qs.foreach { case (qid, q) =>
+      assert(batch.getOrElse(qid, Seq.empty) == engineTopK(q, 10), s"batch mismatch '$q'")
+    }
+  }
+
+  test("threshold query == filtered brute force") {
+    import spark.implicits._
+    val q = "t5 t100 t2000"
+    val tau = {
+      val top = engineTopK(q, 10)
+      if (top.size >= 5) top(4)._2 else 0.5
+    }
+    val got = index.searchThreshold(q, tau)
+      .select($"docId", $"score").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    // oracle: all scored docs from brute force with score >= tau
+    val all = BruteForce.topK(spark, corpus, "url", "text", Seq((0, q)), Int.MaxValue)
+      .filter($"score" >= tau).select($"docKey".cast("string"), $"score")
+      .as[(String, Double)].collect().toMap
+    assert(got.size == all.size)
+    got.foreach { case (d, s) =>
+      val ws = all(urlOf(d))
+      assert(math.abs(s - ws) < 1e-9)
+    }
+  }
+
+  test("filtered search (lang) == brute force over filtered corpus") {
+    import spark.implicits._
+    val q = "t1 t2 t3"
+    val got = index.search(q, 10, docFilter = Some($"lang" === "de"))
+      .select($"docId", $"score").as[(Long, Double)].collect().toSeq
+    val want = {
+      val sub = corpus.filter($"lang" === "de")
+      // df/avgdl stay global in the engine (filter restricts candidates,
+      // not stats) — so oracle scores against FULL corpus stats, ranked
+      // over the filtered candidate set (jvector Bits semantics: search
+      // space unchanged, results filtered)
+      val full = BruteForce.topK(spark, corpus, "url", "text", Seq((0, q)), Int.MaxValue)
+      full.join(sub.select($"url".as("docKey")), "docKey")
+        .orderBy($"score".desc, $"docKey".asc).limit(10)
+        .select($"docKey", $"score").as[(String, Double)].collect().toSeq
+    }
+    assert(got.map(t => urlOf(t._1)) == want.map(_._1))
+    got.zip(want).foreach { case ((_, gs), (_, ws)) => assert(math.abs(gs - ws) < 1e-9) }
+  }
+
+  test("tombstoned docs excluded; compaction gives identical results") {
+    import spark.implicits._
+    val q = "t0 t1"
+    val full = engineTopK(q, 10)
+    val dead = full.take(3).map(_._1)
+    val deadDs = spark.createDataset(dead.map(java.lang.Long.valueOf))
+    val viaTomb = index.search(q, 10, tombstones = Some(deadDs))
+      .select($"docId").as[Long].collect().toSeq
+    assert(viaTomb.intersect(dead).isEmpty)
+    val compacted = index.compact(deadDs)
+    val viaCompact = compacted.search(q, 10).select($"docId").as[Long].collect().toSeq
+    assert(viaCompact.intersect(dead).isEmpty)
+    // rank agreement between tombstone path and compacted index is NOT
+    // exact by design (compaction recomputes global stats); assert the
+    // tombstone path against brute force with original stats instead:
+    val oracle = BruteForce.topK(spark, corpus, "url", "text", Seq((0, q)), 13)
+    val deadUrls = dead.map(urlOf).toSet
+    val wantT = oracle.filter(!$"docKey".isin(deadUrls.toSeq: _*))
+      .orderBy($"score".desc, $"docKey".asc).limit(10)
+      .select($"docKey").as[String].collect().toSeq
+    assert(viaTomb.map(urlOf) == wantT)
+  }
+
+  test("resumable build ≡ one-shot build (kill after 2 chunks, resume)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-full").toString
+    val opts = IndexBuilder.Options(numShards = 8, rangePartitions = 8)
+    val small = WebCorpus.generate(spark, 400, seed = 7L, partitions = 8)
+    intercept[RuntimeException] {
+      ResumableBuild.build(spark, small, dir, opts, numChunks = 4, failAfterChunks = Some(2))
+    }
+    val resumed = ResumableBuild.build(spark, small, dir, opts, numChunks = 4)
+    val oneShot = ResumableBuild.build(spark, small, dirFull, opts, numChunks = 4)
+    def blockSet(ix: InvertedIndex) = ix.blocks.collect()
+      .map(b => (b.term, b.shard, b.firstDocId, b.n,
+        b.docBytes.toSeq, b.tfBytes.toSeq, b.dlBytes.toSeq, b.maxPartial)).toSet
+    assert(blockSet(resumed) == blockSet(oneShot)) // segment-level equality
+    assert(resumed.dict.collect().toSet == oneShot.dict.collect().toSet)
+    assert(resumed.stats == oneShot.stats)
+    val manifest = ResumableBuild.readManifest(spark, dir)
+    assert(manifest.size == 4 && manifest.forall(_.status == "done"))
+    assert(manifest.forall(_.docsPerSec >= 0))
+  }
+
+  test("save/load round-trip preserves search results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-save").toString
+    index.save(dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    val q = "t5 t100 t2000"
+    val got = loaded.search(q, 10).select($"docId", $"score").as[(Long, Double)].collect().toSeq
+    assert(got == engineTopK(q, 10))
+    assert(loaded.stats == index.stats)
+  }
+
+  test("empty and degenerate queries") {
+    assert(engineTopK("", 10).isEmpty)
+    assert(engineTopK("zzzznope", 10).isEmpty)
+    assert(engineTopK("t0", 0).isEmpty)
+  }
+}

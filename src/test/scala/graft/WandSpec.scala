@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.concurrent.TimeLimits
+import org.scalatest.time.{Span, Seconds}
+import graft.core.Text
+import graft.index.{Block, IndexBuilder, ScoredDoc, Wand}
+import scala.util.Random
+
+/** Randomized equivalence: Block-Max WAND vs naive exact scoring, pure
+  * Scala (no Spark) — the fast inner loop of the rank-identity guarantee.
+  * Pattern: jvector's randomized per-operator tests (TestVectorGraph). */
+class WandSpec extends AnyFunSuite with TimeLimits {
+
+  /** Build per-term blocks + a naive score map from a random corpus. */
+  def makeCorpus(rnd: Random, nDocs: Int, vocab: Int):
+      (Seq[(Double, Double, Array[Block])], Map[Long, Double], Double) = {
+    val docs = (0 until nDocs).map { _ =>
+      val len = 1 + rnd.nextInt(30)
+      Array.fill(len)(s"w${rnd.nextInt(vocab)}")
+    }
+    val avgdl = docs.map(_.length).sum.toDouble / nDocs
+    val n = nDocs.toLong
+    // postings per term
+    val byTerm = scala.collection.mutable.Map[String, Vector[(Long, Int, Int)]]()
+    docs.zipWithIndex.foreach { case (toks, d) =>
+      toks.groupBy(identity).foreach { case (t, occ) =>
+        byTerm(t) = byTerm.getOrElse(t, Vector.empty) :+ ((d.toLong, occ.length, toks.length))
+      }
+    }
+    val queryTerms = (0 until 3).map(_ => s"w${rnd.nextInt(vocab)}").distinct
+      .filter(byTerm.contains)
+    val termBlocks = queryTerms.map { t =>
+      val ps = byTerm(t).sortBy(_._1)
+      val idf = Text.idf(ps.length.toLong, n)
+      // small block size to exercise multi-block skipping
+      val blocks = ps.grouped(4).map { g =>
+        IndexBuilder.encodeBlock(t, 0, g.map(_._1).toArray, g.map(_._2).toArray,
+          g.map(_._3).toArray, avgdl)
+      }.toArray
+      val ub = idf * blocks.map(_.maxPartial).max
+      (idf, ub, blocks)
+    }
+    // naive exact scores
+    val naive = scala.collection.mutable.Map[Long, Double]()
+    queryTerms.foreach { t =>
+      val idf = Text.idf(byTerm(t).length.toLong, n)
+      byTerm(t).foreach { case (d, tf, dl) =>
+        naive(d) = naive.getOrElse(d, 0.0) + idf * Text.tfPartial(tf, dl, avgdl)
+      }
+    }
+    (termBlocks, naive.toMap, avgdl)
+  }
+
+  test("wand topK == naive exact topK (500 random corpora)") {
+    failAfter(Span(120, Seconds)) {
+      val rnd = new Random(1234)
+      (0 until 500).foreach { iter =>
+        val (termBlocks, naive, avgdl) = makeCorpus(rnd, 20 + rnd.nextInt(300), 2 + rnd.nextInt(30))
+        val k = 1 + rnd.nextInt(15)
+        val got = Wand.topK(termBlocks, k, avgdl).toSeq
+        val want = naive.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+          .map { case (d, s) => ScoredDoc(d, s) }
+        assert(got.map(_.docId) == want.map(_.docId), s"iter=$iter k=$k")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g.score - w.score) < 1e-12, s"iter=$iter")
+        }
+      }
+    }
+  }
+
+  test("wand threshold == naive filter (200 random corpora)") {
+    failAfter(Span(60, Seconds)) {
+      val rnd = new Random(99)
+      (0 until 200).foreach { iter =>
+        val (termBlocks, naive, avgdl) = makeCorpus(rnd, 20 + rnd.nextInt(200), 2 + rnd.nextInt(20))
+        val tau = 0.2 + rnd.nextDouble() * 2
+        val got = Wand.threshold(termBlocks, tau, avgdl).toSeq.sortBy(_.docId)
+        val want = naive.toSeq.filter(_._2 >= tau).sortBy(_._1)
+          .map { case (d, s) => ScoredDoc(d, s) }
+        assert(got.map(_.docId) == want.map(_.docId), s"iter=$iter tau=$tau")
+      }
+    }
+  }
+
+  test("wand with filter excludes denied docs") {
+    val rnd = new Random(5)
+    val (termBlocks, naive, avgdl) = makeCorpus(rnd, 200, 5)
+    val deny = new java.util.HashSet[java.lang.Long]()
+    naive.keys.filter(_ % 3 == 0).foreach(d => deny.add(d))
+    val f = new Wand.DocFilter(true, new java.util.HashSet(), deny)
+    val got = Wand.topK(termBlocks, 10, avgdl, f).toSeq
+    assert(got.forall(_.docId % 3 != 0))
+    val want = naive.toSeq.filter(_._1 % 3 != 0).sortBy { case (d, s) => (-s, d) }
+      .take(10).map { case (d, s) => ScoredDoc(d, s) }
+    assert(got.map(_.docId) == want.map(_.docId))
+  }
+
+  test("wand decodes fewer blocks than exist when k is small (skipping works)") {
+    val rnd = new Random(7)
+    // one strong rare term + one weak common term
+    val (termBlocks, _, avgdl) = makeCorpus(rnd, 2000, 3)
+    val cursorsTotalBlocks = termBlocks.map(_._3.length).sum
+    assert(cursorsTotalBlocks > 20)
+    // run with k=1: after the heap fills, block-max pruning should skip
+    Wand.topK(termBlocks, 1, avgdl)
+    // (decodedBlocks metric is internal to cursors created in topK; this
+    // test asserts termination + correctness is covered above. Skipping
+    // efficiency is asserted in EngineSpec via timing at bench scale.)
+  }
+}
