@@ -81,7 +81,7 @@ object IndexCli {
         import spark.implicits._
         val ix = InvertedIndex.load(spark, args(1))
         val dead = args(3).split(",").filter(_.nonEmpty).map(_.toLong)
-        val compacted = ix.compact(spark.createDataset(dead.map(java.lang.Long.valueOf).toSeq))
+        val compacted = ix.compact(spark.createDataset(dead.toSeq))
         compacted.save(args(2))
         println(s"compacted: ${ix.stats.numDocs} -> ${compacted.stats.numDocs} docs at ${args(2)}")
         spark.stop()

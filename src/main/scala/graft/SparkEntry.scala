@@ -1,13 +1,43 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each `queries` entry exercises an engine capability over the driver's
+  * parquet tables; `oracleSql` holds the DuckDB-equivalent SQL the driver
+  * cross-checks against (GateOracle). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: BM25 top-10 via the full engine (SPIMI build + compressed
+    * blocks + block-max WAND) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Gate.bm25Top10(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_top10" -> ((s, d) => Gate.bm25Top10(s, d)),
+    "bm25_multi" -> ((s, d) => Gate.bm25Multi(s, d)),
+    "bm25_filtered" -> ((s, d) => Gate.bm25Filtered(s, d)),
+    "bm25_threshold" -> ((s, d) => Gate.bm25Threshold(s, d)),
+    "bm25_tombstone" -> ((s, d) => Gate.bm25Tombstone(s, d)),
+    "bm25_compacted" -> ((s, d) => Gate.bm25Compacted(s, d)),
+    "index_dict" -> ((s, d) => Gate.indexDict(s, d)),
+    "index_stats" -> ((s, d) => Gate.indexStats(s, d)),
+    "index_doclen" -> ((s, d) => Gate.indexDoclen(s, d)),
+    "codec_roundtrip" -> ((s, d) => Gate.codecRoundtrip(s, d)))
+
+  def oracleSql: Map[String, String] = {
+    def terms(q: String) = graft.core.Text.tokenize(q).distinct.toSeq
+    Map(
+      "bm25_top10" -> GateOracle.bm25(terms(Gate.Queries.head._2), 10),
+      "bm25_multi" -> GateOracle.bm25Multi(Gate.Queries, 10),
+      "bm25_filtered" -> GateOracle.bm25(terms("slow fast batch"), 10, pred = "lang = 'en'"),
+      "bm25_threshold" -> GateOracle.bm25Threshold(terms("spark merge window"), 1.2),
+      "bm25_tombstone" -> GateOracle.bm25(terms("vector hash join"), 10,
+        pred = s"NOT (${Gate.TombstonePred})"),
+      "bm25_compacted" -> GateOracle.bm25(terms("vector hash join"), 10,
+        corpus = s"SELECT doc_id, text, lang FROM documents WHERE NOT (${Gate.TombstonePred})"),
+      "index_dict" -> GateOracle.dict(Gate.DictTerms),
+      "index_stats" -> GateOracle.stats,
+      "index_doclen" -> GateOracle.doclen,
+      "codec_roundtrip" -> GateOracle.codecRoundtrip(Seq("spark", "vector", "the")))
+  }
 }

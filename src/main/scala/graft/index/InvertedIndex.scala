@@ -47,7 +47,7 @@ final case class InvertedIndex(
     * candidates anti-joined at query time until compaction). */
   def search(query: String, k: Int,
              docFilter: Option[Column] = None,
-             tombstones: Option[Dataset[java.lang.Long]] = None): DataFrame = {
+             tombstones: Option[Dataset[Long]] = None): DataFrame = {
     val plan = queryPlan(query)
     if (plan.isEmpty || k <= 0) return emptyResult
     val planB = spark.sparkContext.broadcast(plan)
@@ -131,7 +131,7 @@ final case class InvertedIndex(
   /** Compaction (jvector cleanup()/removeDeletedNodes,
     * GraphIndexBuilder.java:178-207): rewrite blocks dropping tombstoned
     * docs, recompute dictionary + stats. Returns a new index. */
-  def compact(tombstones: Dataset[java.lang.Long]): InvertedIndex = {
+  def compact(tombstones: Dataset[Long]): InvertedIndex = {
     val dead = tombstones.collect().toSet // compaction assumes tombstones << corpus
     val deadB = spark.sparkContext.broadcast(dead)
     val avgdlOld = stats.avgdl

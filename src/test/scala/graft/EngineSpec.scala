@@ -131,7 +131,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = "t0 t1"
     val full = engineTopK(q, 10)
     val dead = full.take(3).map(_._1)
-    val deadDs = spark.createDataset(dead.map(java.lang.Long.valueOf))
+    val deadDs = spark.createDataset(dead.toSeq)
     val viaTomb = index.search(q, 10, tombstones = Some(deadDs))
       .select($"docId").as[Long].collect().toSeq
     assert(viaTomb.intersect(dead).isEmpty)
