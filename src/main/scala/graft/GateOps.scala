@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Gate queries for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal) and the relational /
+  * event-stream checklist — each paired with DuckDB oracle SQL in
+  * [[GateOpsOracle]]. */
+object GateOps {
+
+  // ---------- dedup ----------
+
+  /** documents ∪ exact copies (doc_id+100000) of doc_id < 50. */
+  private def augExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Gate.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (doc_id+100000, text + " zz extra") of
+    * doc_id % 25 = 0 — constructs known near-duplicates deterministically
+    * in BOTH engines (the corpus itself has no dups). */
+  private def augNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Gate.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz extra")).as("text")))
+  }
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactGroups(augExact(spark, sfDir), "doc_id", "text")
+      .select(col("text_md5"), col("cnt"), col("min_key").as("min_doc"))
+      .orderBy(col("min_doc"))
+
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sub = augNear(spark, sfDir).filter(col("doc_id") % 25 === 0)
+    val sh = Dedup.shingles(sub, "doc_id", "text")
+    Dedup.jaccardPairs(sh, 0.4)
+      .select(col("a"), col("b"), round(col("jacc") * 10000).cast("long").as("jacc_q"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshNearDupPairs(augNear(spark, sfDir), "doc_id", "text", threshold = 0.8)
+      .select(col("a"), col("b"), round(col("jacc") * 10000).cast("long").as("jacc_q"))
+      .orderBy(col("a"), col("b"))
+
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0)
+    Dedup.embedCosinePairs(emb, "vec_id", "embedding", 0.35)
+      .select(col("a"), col("b"), round(col("sim") * 10000).cast("long").as("sim_q"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---------- text analysis ----------
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.quality(Gate.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.tokenCounts(Gate.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.langId(Gate.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def textSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.simhash(Gate.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.fingerprint(Gate.documents(spark, sfDir), "doc_id", "text").orderBy(col("doc_id"))
+
+  // ---------- similarity search ----------
+
+  private def queryVec(spark: SparkSession, sfDir: String, id: Long): Seq[Float] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === id).select(col("embedding"))
+      .as[Seq[Float]].head()
+  }
+
+  private def ranked(df: DataFrame, asc: Boolean): DataFrame = {
+    val w = if (asc) Window.orderBy(col("sim").asc, col("key").asc)
+            else Window.orderBy(col("sim").desc, col("key").asc)
+    df.withColumn("rank", row_number().over(w))
+      .withColumn("sim_q", round(col("sim") * 10000).cast("long"))
+      .select(col("key").as("vec_id"), col("rank"), col("sim_q"))
+      .orderBy(col("rank"))
+  }
+
+  def annCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    ranked(Ann.bruteTopK(emb, "vec_id", "embedding",
+      queryVec(spark, sfDir, 0), 10, Ann.Cosine), asc = false)
+  }
+
+  def annDot(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    ranked(Ann.bruteTopK(emb, "vec_id", "embedding",
+      queryVec(spark, sfDir, 0), 10, Ann.Dot), asc = false)
+  }
+
+  def annL2(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    ranked(Ann.bruteTopK(emb, "vec_id", "embedding",
+      queryVec(spark, sfDir, 0), 10, Ann.L2), asc = true)
+  }
+
+  /** IVF path in exact mode (nProbe == kCenters) so the oracle is the
+    * brute-force ranking; nProbe < kCenters is the production scale knob
+    * (recall measured in AnnSpec). */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Ann.buildIvf(spark, emb, "vec_id", "embedding", kCenters = 8, iters = 2)
+    ranked(Ann.ivfTopK(ivf, queryVec(spark, sfDir, 1), 10, nProbe = 8), asc = false)
+  }
+
+  // ---------- multimodal ----------
+
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractMeta(
+      Multimodal.withPayload(Gate.documents(spark, sfDir), "text"), "doc_id")
+      .select(col("key").as("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("frames").cast("long").as("frames"))
+      .orderBy(col("doc_id"))
+
+  // ---------- relational checklist (stock Spark, oracle-checked) ----------
+
+  def relQ1(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("long").as("rev_q"),
+        round(avg(col("l_discount")) * 10000).cast("long").as("avg_disc_q"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def relJoinTop10(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val agg = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice"))).cast("long").as("rev_q"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("rev_q").desc, col("c_custkey").asc)
+    agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("rank"), col("c_custkey"), col("c_name"), col("rev_q"), col("n_orders"))
+      .orderBy(col("rank"))
+  }
+
+  def relWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").filter(col("l_suppkey") < 20)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  def relDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  def relSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").as("p_partkey"))
+    val unreferenced = p.except(l).count()
+    val referenced = p.intersect(l).count()
+    import spark.implicits._
+    Seq((unreferenced, referenced)).toDF("n_unreferenced", "n_referenced")
+  }
+
+  // ---------- event streams (batch equivalents; streaming in tests) ----------
+
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")) * 100).cast("long").as("sum_value_q"))
+      .select(unix_timestamp(col("h")).as("h_epoch"), col("event_type"), col("cnt"), col("sum_value_q"))
+      .orderBy(col("h_epoch"), col("event_type"))
+
+  def eventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("newSession",
+        when(col("prev").isNull
+          .or(unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800), 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("newSession")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -22,7 +22,28 @@ object SparkEntry {
     "index_dict" -> ((s, d) => Gate.indexDict(s, d)),
     "index_stats" -> ((s, d) => Gate.indexStats(s, d)),
     "index_doclen" -> ((s, d) => Gate.indexDoclen(s, d)),
-    "codec_roundtrip" -> ((s, d) => Gate.codecRoundtrip(s, d)))
+    "codec_roundtrip" -> ((s, d) => Gate.codecRoundtrip(s, d)),
+    "dedup_exact" -> ((s, d) => GateOps.dedupExact(s, d)),
+    "dedup_jaccard" -> ((s, d) => GateOps.dedupJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => GateOps.dedupMinhash(s, d)),
+    "dedup_embed" -> ((s, d) => GateOps.dedupEmbed(s, d)),
+    "text_quality" -> ((s, d) => GateOps.textQuality(s, d)),
+    "text_tokens" -> ((s, d) => GateOps.textTokens(s, d)),
+    "text_langid" -> ((s, d) => GateOps.textLangId(s, d)),
+    "text_simhash" -> ((s, d) => GateOps.textSimhash(s, d)),
+    "text_fingerprint" -> ((s, d) => GateOps.textFingerprint(s, d)),
+    "ann_cosine" -> ((s, d) => GateOps.annCosine(s, d)),
+    "ann_dot" -> ((s, d) => GateOps.annDot(s, d)),
+    "ann_l2" -> ((s, d) => GateOps.annL2(s, d)),
+    "ann_ivf" -> ((s, d) => GateOps.annIvf(s, d)),
+    "multimodal_meta" -> ((s, d) => GateOps.multimodalMeta(s, d)),
+    "rel_q1" -> ((s, d) => GateOps.relQ1(s, d)),
+    "rel_join_top10" -> ((s, d) => GateOps.relJoinTop10(s, d)),
+    "rel_window" -> ((s, d) => GateOps.relWindow(s, d)),
+    "rel_distinct" -> ((s, d) => GateOps.relDistinct(s, d)),
+    "rel_setops" -> ((s, d) => GateOps.relSetops(s, d)),
+    "events_hourly" -> ((s, d) => GateOps.eventsHourly(s, d)),
+    "events_sessions" -> ((s, d) => GateOps.eventsSessions(s, d)))
 
   def oracleSql: Map[String, String] = {
     def terms(q: String) = graft.core.Text.tokenize(q).distinct.toSeq
@@ -38,6 +59,27 @@ object SparkEntry {
       "index_dict" -> GateOracle.dict(Gate.DictTerms),
       "index_stats" -> GateOracle.stats,
       "index_doclen" -> GateOracle.doclen,
-      "codec_roundtrip" -> GateOracle.codecRoundtrip(Seq("spark", "vector", "the")))
+      "codec_roundtrip" -> GateOracle.codecRoundtrip(Seq("spark", "vector", "the")),
+      "dedup_exact" -> GateOpsOracle.dedupExact,
+      "dedup_jaccard" -> GateOpsOracle.dedupJaccard,
+      "dedup_minhash" -> GateOpsOracle.dedupMinhash,
+      "dedup_embed" -> GateOpsOracle.dedupEmbed,
+      "text_quality" -> GateOpsOracle.textQuality,
+      "text_tokens" -> GateOpsOracle.textTokens,
+      "text_langid" -> GateOpsOracle.textLangId,
+      "text_simhash" -> GateOpsOracle.textSimhash,
+      "text_fingerprint" -> GateOpsOracle.textFingerprint,
+      "ann_cosine" -> GateOpsOracle.annCosine,
+      "ann_dot" -> GateOpsOracle.annDot,
+      "ann_l2" -> GateOpsOracle.annL2,
+      "ann_ivf" -> GateOpsOracle.annIvf,
+      "multimodal_meta" -> GateOpsOracle.multimodalMeta,
+      "rel_q1" -> GateOpsOracle.relQ1,
+      "rel_join_top10" -> GateOpsOracle.relJoinTop10,
+      "rel_window" -> GateOpsOracle.relWindow,
+      "rel_distinct" -> GateOpsOracle.relDistinct,
+      "rel_setops" -> GateOpsOracle.relSetops,
+      "events_hourly" -> GateOpsOracle.eventsHourly,
+      "events_sessions" -> GateOpsOracle.eventsSessions)
   }
 }
