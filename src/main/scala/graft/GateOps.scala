@@ -20,11 +20,14 @@ object GateOps {
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near-copies (doc_id+100000, text + " zz extra") of
-    * doc_id % 25 = 0 — constructs known near-duplicates deterministically
-    * in BOTH engines (the corpus itself has no dups). */
+  /** documents (doc_id < 1000) ∪ near-copies (doc_id+100000,
+    * text + " zz extra") of doc_id % 25 = 0 — constructs known
+    * near-duplicates deterministically in BOTH engines (the corpus has no
+    * organic dups). The doc_id bound keeps the gate subset fixed-size
+    * across scale factors (identical bound in the oracle SQL). */
   private def augNear(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Gate.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 1000)
     d.union(d.filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz extra")).as("text")))
@@ -37,6 +40,7 @@ object GateOps {
 
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sub = augNear(spark, sfDir).filter(col("doc_id") % 25 === 0)
+      .filter(col("doc_id") % 100000 < 500)
     val sh = Dedup.shingles(sub, "doc_id", "text")
     Dedup.jaccardPairs(sh, 0.4)
       .select(col("a"), col("b"), round(col("jacc") * 10000).cast("long").as("jacc_q"))

@@ -11,9 +11,9 @@ object GateOpsOracle {
       | UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)""".stripMargin
 
   private val AugNear =
-    """aug AS (SELECT doc_id, text FROM documents
+    """aug AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000
       | UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zz extra' AS text
-      | FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+      | FROM documents WHERE doc_id < 1000 AND doc_id % 25 = 0)""".stripMargin
 
   val dedupExact: String =
     s"""WITH $AugExact
@@ -37,7 +37,7 @@ object GateOpsOracle {
        |SELECT a, b, CAST(round(jacc * 10000) AS BIGINT) AS jacc_q
        |FROM j WHERE jacc >= $minJ ORDER BY a, b""".stripMargin
 
-  val dedupJaccard: String = jaccardSql("doc_id % 25 = 0", 0.4)
+  val dedupJaccard: String = jaccardSql("doc_id % 25 = 0 AND doc_id % 100000 < 500", 0.4)
 
   /** LSH is engine-side machinery; its verified output equals the exact
     * j >= 0.8 pair set (near-dup pairs sit at j ~ 0.95, far from the LSH

@@ -114,9 +114,9 @@ object IndexBuilder {
     }
 
     // --- stage 4+5: range-partitioned merge + block encode ---
-    val blocks = encodeBlocks(spark, postings, avgdl, opts).persist()
+    val blocks = encodeBlocks(spark, postings, opts).persist()
 
-    // --- dictionary: df/cf/maxPartial per term (map-side combined agg) ---
+    // --- dictionary: df/cf/bound inputs per term (map-side combined agg) ---
     val dict = dictFromBlocks(spark, blocks).persist()
 
     // force caches before dropping the sorted input: repartitionByRange
@@ -127,15 +127,16 @@ object IndexBuilder {
   }
 
   /** Dictionary from blocks: df = Σ block n (one posting per doc), cf from
-    * decoded tfs, maxPartial = global tf-part bound. Map-side partial
-    * aggregation is automatic (hash agg). */
+    * decoded tfs, (maxTf, minDl) = global tf-part bound inputs. Map-side
+    * partial aggregation is automatic (hash agg). */
   def dictFromBlocks(spark: SparkSession, blocks: Dataset[Block]): Dataset[DictEntry] = {
     import spark.implicits._
     val cfOf = udf((b: Array[Byte]) => Codec.decodeTfs(b).map(_.toLong).sum)
     blocks.groupBy($"term").agg(
       sum($"n").cast("long").as("df"),
       sum(cfOf($"tfBytes")).cast("long").as("cf"),
-      max($"maxPartial").as("maxPartial"))
+      max($"maxTf").as("maxTf"),
+      min($"minDl").as("minDl"))
       .as[DictEntry]
   }
 
@@ -149,21 +150,21 @@ object IndexBuilder {
     * because `shard` acts as the salt: the heaviest term spreads over
     * numShards partitions (the explicit salted merge of SURVEY.md §7.1.4;
     * jvector merge analog NodeArray.merge:52-132). */
-  private[index] def encodeBlocks(spark: SparkSession, postings: Dataset[Posting],
-                                  avgdl: Double, opts: Options): Dataset[Block] = {
+  private[graft] def encodeBlocks(spark: SparkSession, postings: Dataset[Posting],
+                                  opts: Options): Dataset[Block] = {
     import spark.implicits._
     val bs = opts.blockSize
     postings
       .repartition(opts.rangePartitions, $"term", $"shard")
       .sortWithinPartitions($"term", $"shard", $"docId")
       .mapPartitions { it =>
-        new BlockCutter(it, bs, avgdl)
+        new BlockCutter(it, bs)
       }
   }
 
   /** Streaming block cutter over (term, shard, docId)-sorted postings. */
-  private final class BlockCutter(it: Iterator[Posting], blockSize: Int,
-                                  avgdl: Double) extends Iterator[Block] {
+  private final class BlockCutter(it: Iterator[Posting], blockSize: Int)
+      extends Iterator[Block] {
     private val buf = new scala.collection.mutable.ArrayBuffer[Posting](blockSize)
     private var pending: Posting = if (it.hasNext) it.next() else null
     override def hasNext: Boolean = pending != null
@@ -176,20 +177,25 @@ object IndexBuilder {
         pending = if (it.hasNext) it.next() else null
       }
       encodeBlock(t, s, buf.map(_.docId).toArray, buf.map(_.tf).toArray,
-        buf.map(_.docLen).toArray, avgdl)
+        buf.map(_.docLen).toArray)
     }
   }
 
-  /** Encode one self-contained block (exact block-max over its postings). */
+  /** Encode one self-contained block. (maxTf, minDl) give the block-max
+    * bound inputs; a (maxTf, minDl) pair dominates every posting because
+    * tfPartial is monotone up in tf and down in docLen. */
   def encodeBlock(term: String, shard: Int, ids: Array[Long], tfs: Array[Int],
-                  dls: Array[Int], avgdl: Double): Block = {
-    var mp = 0.0
+                  dls: Array[Int]): Block = {
+    var maxTf = 0
+    var minDl = Int.MaxValue
     var i = 0
     while (i < ids.length) {
-      mp = math.max(mp, Text.tfPartial(tfs(i), dls(i).toLong, avgdl))
+      if (tfs(i) > maxTf) maxTf = tfs(i)
+      if (dls(i) < minDl) minDl = dls(i)
       i += 1
     }
     Block(term, Model.bucketOf(term), shard, ids.head, ids.last, ids.length,
-      Codec.encodeDocIds(ids, -1L), Codec.encodeTfs(tfs), Codec.encodeTfs(dls), mp)
+      Codec.encodeDocIds(ids, -1L), Codec.encodeTfs(tfs), Codec.encodeTfs(dls),
+      maxTf, minDl)
   }
 }

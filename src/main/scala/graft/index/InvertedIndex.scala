@@ -33,7 +33,7 @@ final case class InvertedIndex(
       val n = stats.numDocs
       dict.filter($"term".isin(terms: _*)).collect().map { e =>
         val idf = Text.idf(e.df, n)
-        e.term -> (idf, idf * e.maxPartial)
+        e.term -> (idf, idf * Text.tfPartial(e.maxTf, e.minDl.toLong, stats.avgdl))
       }.toMap
     }
   }
@@ -134,31 +134,25 @@ final case class InvertedIndex(
   def compact(tombstones: Dataset[Long]): InvertedIndex = {
     val dead = tombstones.collect().toSet // compaction assumes tombstones << corpus
     val deadB = spark.sparkContext.broadcast(dead)
-    val avgdlOld = stats.avgdl
     val newDocs = docs.filter(d => !deadB.value.contains(d.docId)).persist()
     val nd = newDocs.count()
     val totTok = if (nd == 0) 0L else newDocs.agg(sum($"docLen")).as[Long].head()
     val newAvg = if (nd == 0) 0.0 else totTok.toDouble / nd
-    // re-encode: decode each block, drop dead ids, re-cut blocks; maxPartial
-    // recomputed under the new avgdl
+    // rewrite only blocks containing dead ids (integer block-max metadata
+    // stays valid under the new avgdl — no stats-driven rewrite needed)
     val newBlocks = blocks.flatMap { b =>
       val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
-      val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
-      val dls = graft.core.Codec.decodeTfs(b.dlBytes)
-      val keep = ids.indices.filter(i => !deadB.value.contains(ids(i)))
-      if (keep.isEmpty) Iterator.empty
-      else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
-        keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray, newAvg))
+      if (!ids.exists(deadB.value.contains)) Iterator(b)
+      else {
+        val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
+        val dls = graft.core.Codec.decodeTfs(b.dlBytes)
+        val keep = ids.indices.filter(i => !deadB.value.contains(ids(i)))
+        if (keep.isEmpty) Iterator.empty
+        else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
+          keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray))
+      }
     }.persist()
-    val newDict = newBlocks.flatMap { b =>
-      val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
-      Iterator((b.term, b.n.toLong, tfs.map(_.toLong).sum, b.maxPartial))
-    }.groupByKey(_._1).mapGroups { (t, it) =>
-      var df = 0L; var cf = 0L; var mp = 0.0
-      it.foreach { r => df += r._2; cf += r._3; mp = math.max(mp, r._4) }
-      DictEntry(t, df, cf, mp)
-    }
-    val _ = avgdlOld
+    val newDict = IndexBuilder.dictFromBlocks(spark, newBlocks)
     InvertedIndex(spark, newDocs, newBlocks, newDict.persist(),
       IndexStats(nd, totTok, newAvg, stats.numShards))
   }
@@ -190,7 +184,7 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/docs").as[DocMeta],
       spark.read.parquet(s"$dir/blocks").select(
         "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-        "docBytes", "tfBytes", "dlBytes", "maxPartial").as[Block],
+        "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl").as[Block],
       spark.read.parquet(s"$dir/dict").as[DictEntry],
       stats)
   }

@@ -20,10 +20,14 @@ final case class Posting(term: String, shard: Int, docId: Long, tf: Int, docLen:
 
 /** One compressed posting block: <= Codec.BlockSize postings of one
   * (term, shard), docIds strictly increasing, self-contained encoding.
-  * `maxPartial` = max length-normalized tf part in the block — the
-  * block-max metadata WAND uses for exact skipping (query-time upper
-  * bound = idf(term) * maxPartial). `bucket` = hash(term) % DictBuckets
-  * drives file-level pruning when persisted (partitionBy("bucket")). */
+  * `(maxTf, minDl)` are the block-max metadata WAND uses for exact
+  * skipping: the query-time upper bound is idf(term) *
+  * tfPartial(maxTf, minDl, avgdl), computed under the CURRENT avgdl —
+  * tfPartial is monotone increasing in tf and decreasing in docLen, so
+  * the bound stays valid when corpus stats drift (incremental appends,
+  * compaction) without rewriting segments; segments hold only integers.
+  * `bucket` = hash(term) % DictBuckets drives file-level pruning when
+  * persisted (partitionBy("bucket")). */
 final case class Block(
     term: String,
     bucket: Int,
@@ -34,11 +38,12 @@ final case class Block(
     docBytes: Array[Byte],
     tfBytes: Array[Byte],
     dlBytes: Array[Byte],
-    maxPartial: Double)
+    maxTf: Int,
+    minDl: Int)
 
 /** Dictionary row: global per-term stats (df = doc freq, cf = collection
-  * freq, maxPartial = global upper bound of the tf part). */
-final case class DictEntry(term: String, df: Long, cf: Long, maxPartial: Double)
+  * freq, (maxTf, minDl) = global tf-part bound inputs). */
+final case class DictEntry(term: String, df: Long, cf: Long, maxTf: Int, minDl: Int)
 
 /** Global corpus stats — the engine's `approximateCentroid` analog
   * (jvector graph/similarity/BuildScoreProvider.java:100-111): one tiny

@@ -107,7 +107,7 @@ object ResumableBuild {
             }
           }
         }
-        val blocks = IndexBuilder.encodeBlocks(spark, postings, avgdl, opts).persist()
+        val blocks = IndexBuilder.encodeBlocks(spark, postings, opts).persist()
         val (nBlocks, nPostings) = blocks.agg(count(lit(1)), sum($"n"))
           .as[(Long, Option[Long])].head() match { case (b, p) => (b, p.getOrElse(0L)) }
         blocks.write.mode("overwrite").parquet(segDir.toString)
@@ -140,7 +140,7 @@ object ResumableBuild {
     import spark.implicits._
     spark.read.parquet(s"$dir/blocks").select(
       "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-      "docBytes", "tfBytes", "dlBytes", "maxPartial").as[Block]
+      "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl").as[Block]
   }
 
   def readManifest(spark: SparkSession, dir: String): Seq[ManifestRow] = {

@@ -7,7 +7,7 @@ import graft.core.{Codec, DoubleTopK, Text}
   * top-k search with early termination (graph/GraphSearcher.java:245-306:
   * bounded result heap, stop when best-possible < current-kth). Here the
   * same "upper bound vs θ" logic drives exact block skipping: a block is
-  * decoded only if idf·maxPartial of the blocks covering the pivot doc can
+  * decoded only if the idf·tf-part bound of the blocks covering the pivot can
   * still beat the heap threshold, so payload bytes for skipped blocks are
   * never read (the locality idea of jvector's FusedADC layout,
   * graph/disk/FusedADC.java:87-106, as metadata/payload column split).
@@ -49,8 +49,11 @@ object Wand {
       else blocks(bi).firstDocId
 
     /** Upper bound of this term's contribution for any doc in the current
-      * block (exact block-max). */
-    def blockMax: Double = if (exhausted) 0.0 else idf * blocks(bi).maxPartial
+      * block (exact block-max, evaluated under the CURRENT avgdl from the
+      * stored (maxTf, minDl) integers). */
+    def blockMax: Double =
+      if (exhausted) 0.0
+      else idf * Text.tfPartial(blocks(bi).maxTf, blocks(bi).minDl.toLong, avgdl)
 
     def blockLast: Long = if (exhausted) Long.MaxValue else blocks(bi).lastDocId
 

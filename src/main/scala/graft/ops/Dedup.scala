@@ -49,13 +49,27 @@ object Dedup {
     val b = sh.toDF("b", "shingle")
     val inter = a.join(b, "shingle").filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, minJ)
+  }
+
+  /** Exact Jaccard restricted to a given candidate pair set — the join
+    * order that scales: shingles meet the (small) candidate set FIRST, so
+    * the shingle equi-join never materializes non-candidate pairs. */
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy(col("key")).agg(count(lit(1)).as("sz"))
+    val withA = pairs.join(sh.toDF("a", "shingle"), "a")
+    val inter = withA.join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, minJ)
+  }
+
+  private def withJaccard(inter: DataFrame, sizes: DataFrame, minJ: Double): DataFrame =
     inter
       .join(sizes.toDF("a", "sza"), "a")
       .join(sizes.toDF("b", "szb"), "b")
       .withColumn("jacc", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jacc") >= minJ)
       .select(col("a"), col("b"), col("jacc"))
-  }
 
   /** MinHash signatures: one row per key with numHashes min-hash values,
     * computed as a single hash-aggregate (no UDAF needed). The shingle
@@ -91,10 +105,9 @@ object Dedup {
     val r = banded.toDF("b", "band", "bucket")
     val candidates = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // verify candidates exactly (scales: |candidates| << all pairs)
-    val verified = jaccardPairs(sh, threshold)
-      .join(candidates, Seq("a", "b"), "left_semi")
-    verified
+    // verify candidates exactly (scales: |candidates| << all pairs, and
+    // the Jaccard join is restricted to them from the start)
+    jaccardForPairs(sh, candidates, threshold)
   }
 
   /** Embedding near-duplicates: pairs with cosine >= threshold. All-pairs

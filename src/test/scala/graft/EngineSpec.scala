@@ -162,7 +162,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val oneShot = ResumableBuild.build(spark, small, dirFull, opts, numChunks = 4)
     def blockSet(ix: InvertedIndex) = ix.blocks.collect()
       .map(b => (b.term, b.shard, b.firstDocId, b.n,
-        b.docBytes.toSeq, b.tfBytes.toSeq, b.dlBytes.toSeq, b.maxPartial)).toSet
+        b.docBytes.toSeq, b.tfBytes.toSeq, b.dlBytes.toSeq, b.maxTf, b.minDl)).toSet
     assert(blockSet(resumed) == blockSet(oneShot)) // segment-level equality
     assert(resumed.dict.collect().toSet == oneShot.dict.collect().toSet)
     assert(resumed.stats == oneShot.stats)

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.corpus.WebCorpus
+import graft.index._
+import graft.streaming._
+
+/** Streaming-path tests: incremental micro-segment ingestion must agree
+  * with the brute-force oracle over the full corpus after refresh (the
+  * metamorphic incremental ≡ bulk guarantee, jvector
+  * TestOnDiskGraphIndex.java:215-262), and streaming window/state ops
+  * must agree with their batch equivalents. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("incremental streaming ingest + refresh == brute force over full corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val opts = IndexBuilder.Options(numShards = 4, rangePartitions = 4)
+
+    val all = (0L until 400L).map(i => WebCorpus.page(11L, i))
+    val bulk = all.take(300)
+    val stream1 = all.slice(300, 350)
+    val stream2 = all.slice(350, 400)
+    def toDf(ps: Seq[WebCorpus.Page]) =
+      ps.map(p => (p.url, p.text, p.lang)).toDF("url", "text", "lang")
+
+    ResumableBuild.build(spark, toDf(bulk), dir, opts, numChunks = 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val q = StreamingIndex.start(mem.toDF().toDF("url", "text", "lang"), dir, ckpt, opts)
+    mem.addData(stream1.map(p => (p.url, p.text, p.lang)): _*)
+    q.processAllAvailable()
+    mem.addData(stream2.map(p => (p.url, p.text, p.lang)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val ix = StreamingIndex.refresh(spark, dir)
+    assert(ix.stats.numDocs == 400)
+
+    val corpus = toDf(all)
+    val query = "t0 t1 t5"
+    val got = ix.search(query, 10).as[(Long, Double)].collect().toSeq
+    val urls = ix.docs.select($"docId", $"url").as[(Long, String)].collect().toMap
+    val want = BruteForce.topK(spark, corpus, "url", "text", Seq((0, query)), 10)
+      .orderBy($"rank").select($"docKey".cast("string"), $"score")
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(g => urls(g._1)).toSet == want.map(_._1).toSet)
+    val wantByUrl = want.toMap
+    got.foreach { case (d, s) =>
+      assert(math.abs(s - wantByUrl(urls(d))) < 1e-9)
+    }
+    // replayed batch is idempotent: re-append batch 0 -> no change
+    StreamingIndex.appendBatch(spark, toDf(stream1), dir, opts, 0L)
+    val ix2 = StreamingIndex.refresh(spark, dir)
+    assert(ix2.stats.numDocs == 400)
+  }
+
+  test("streaming hourly window agg == batch equivalent") {
+    import spark.implicits._
+    val events = (0 until 500).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 347000L), s"type${i % 3}", i * 1.5)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = StreamOps.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = sdf.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly")
+      .select($"h_epoch", $"event_type", $"cnt", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val want = StreamOps.hourlyCounts(events.toDF("ts", "event_type", "value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("stateful sessionize == batch lag-window sessionization") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val events = (0 until 300).map { i =>
+      (rnd.nextInt(10).toLong, 1700000000L + rnd.nextInt(100000).toLong)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("update").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = final session count
+    val got = spark.table("sessions").groupBy($"user_id")
+      .agg(max($"n_sessions").as("n"), max($"n_events").as("e"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    // batch oracle via lag window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"u").orderBy($"t")
+    val want = events.toDF("u", "t")
+      .withColumn("prev", lag($"t", 1).over(w))
+      .withColumn("ns", when($"prev".isNull || $"t" - $"prev" > 1800, 1).otherwise(0))
+      .groupBy($"u").agg(sum($"ns").as("n"), count(lit(1)).as("e"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
+    assert(got == want)
+  }
+}

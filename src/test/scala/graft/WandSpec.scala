@@ -36,9 +36,9 @@ class WandSpec extends AnyFunSuite with TimeLimits {
       // small block size to exercise multi-block skipping
       val blocks = ps.grouped(4).map { g =>
         IndexBuilder.encodeBlock(t, 0, g.map(_._1).toArray, g.map(_._2).toArray,
-          g.map(_._3).toArray, avgdl)
+          g.map(_._3).toArray)
       }.toArray
-      val ub = idf * blocks.map(_.maxPartial).max
+      val ub = idf * blocks.map(b => Text.tfPartial(b.maxTf, b.minDl.toLong, avgdl)).max
       (idf, ub, blocks)
     }
     // naive exact scores
