@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.index.{IndexBuilder, ResumableBuild}
+
+/** One pinned build, spawned by Bench as a separate JVM per parallelism
+  * level (so task slots, GC threads and memory are all bounded by the
+  * taskset mask — the faithful single-machine proxy for an N-executor
+  * cluster). Prints one JSON line with the build seconds. */
+object BenchBuildOne {
+  def main(args: Array[String]): Unit = {
+    val Array(corpusPath, indexDir, chunks, parChunks) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-build-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = spark.read.parquet(corpusPath)
+    val t0 = System.nanoTime()
+    val ix = ResumableBuild.build(spark, corpus, indexDir,
+      IndexBuilder.Options(numShards = 32, rangePartitions = 128),
+      numChunks = chunks.toInt, assumeSorted = true,
+      parallelChunks = parChunks.toInt)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"buildSecs":$secs%.2f,"docs":${ix.stats.numDocs}}""")
+    spark.stop()
+  }
+}

@@ -40,12 +40,17 @@ object IndexCli {
         val input = args(1)
         val dir = args(2)
         val chunks = if (args.length > 3) args(3).toInt else 8
+        val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "128").toInt
         val corpus =
           if (input.startsWith("synth:"))
-            WebCorpus.generate(spark, input.stripPrefix("synth:").toLong)
+            WebCorpus.generate(spark, input.stripPrefix("synth:").toLong, partitions = parts)
           else spark.read.parquet(input)
         val t0 = System.nanoTime()
-        val ix = ResumableBuild.build(spark, corpus, dir, numChunks = chunks)
+        val ix = ResumableBuild.build(spark, corpus, dir,
+          IndexBuilder.Options(numShards = 32, rangePartitions = parts),
+          numChunks = chunks,
+          assumeSorted = sys.env.contains("SPARK_GRAFT_ASSUME_SORTED"),
+          parallelChunks = sys.env.getOrElse("SPARK_GRAFT_PAR_CHUNKS", "1").toInt)
         val secs = (System.nanoTime() - t0) / 1e9
         val manifest = ResumableBuild.readManifest(spark, dir)
         println(f"built ${ix.stats.numDocs} docs, ${ix.stats.totalTokens} tokens " +

@@ -10,12 +10,38 @@ package graft.core
   */
 object Text {
 
+  private val TokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** Tokenizer: lowercase, split on runs of anything outside [a-z0-9],
     * drop empties. Deliberately expressible in ANSI SQL
     * (`string_split_regex(lower(text), '[^a-z0-9]+')`) so the DuckDB
-    * oracle tokenizes identically. */
+    * oracle tokenizes identically. Pattern precompiled — this is the
+    * hottest scalar in the build path. */
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    TokenSplit.split(text.toLowerCase).filter(_.nonEmpty)
+
+  /** tokenize(text).length without allocating tokens — the docLen pass
+    * over the corpus needs only the count. ASCII fast path (token chars
+    * after lowercasing are exactly [a-zA-Z0-9]); any non-ASCII text falls
+    * back to the real tokenizer so the frozen semantics hold. */
+  def countTokens(text: String): Int = {
+    var i = 0
+    val n = text.length
+    while (i < n && text.charAt(i) < 128) i += 1
+    if (i < n) return tokenize(text).length
+    var count = 0
+    var inTok = false
+    i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val alnum = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+        (c >= 'A' && c <= 'Z')
+      if (alnum && !inTok) count += 1
+      inTok = alnum
+      i += 1
+    }
+    count
+  }
 
   /** Per-doc term frequencies, with docLen = total token count. */
   def termFreqs(text: String): (Array[(String, Int)], Int) = {

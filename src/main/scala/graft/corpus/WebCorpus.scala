@@ -28,13 +28,17 @@ object WebCorpus {
     "de", "fr", "ru", "zh") // ~69% en
 
   /** Zipf-ish sampler over term ranks via inverse-CDF power approximation
-    * (s ≈ 1.07): rank = floor(V^(u)) biases small ranks heavily. */
-  @inline private def zipfRank(u: Double): Int = {
-    val r = math.pow(VocabSize.toDouble, u) - 1.0
+    * (s ≈ 1.07): rank = floor(V^u) biases small ranks heavily. V^u is
+    * precomputed on a 64k-entry grid (pow per token would dominate
+    * generation and pollute build-throughput measurements). */
+  private val ZipfGrid: Array[Int] = Array.tabulate(65537) { i =>
+    val r = math.pow(VocabSize.toDouble, i / 65536.0) - 1.0
     math.min(VocabSize - 1, r.toInt)
   }
+  @inline private def zipfRank(u: Double): Int = ZipfGrid((u * 65536.0).toInt)
 
-  def term(rank: Int): String = s"t$rank"
+  private val TermCache: Array[String] = Array.tabulate(VocabSize)(i => "t" + i)
+  def term(rank: Int): String = TermCache(rank)
 
   /** Deterministic page for ordinal i under seed. */
   def page(seed: Long, i: Long): Page = {

@@ -87,7 +87,7 @@ object IndexBuilder {
       val pid = TaskContext.getPartitionId()
       var i = offB.value(pid)
       it.map { case (url, text, lang) =>
-        val d = DocMeta(i, shardOf(i), url, Text.tokenize(text).length, lang)
+        val d = DocMeta(i, shardOf(i), url, Text.countTokens(text), lang)
         i += 1
         d
       }
@@ -99,22 +99,9 @@ object IndexBuilder {
     val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
     val stats = IndexStats(numDocs, totTok, avgdl, nShards)
 
-    // --- stage 2b: postings — narrow (SPIMI: tf computed doc-locally) ---
-    val postings = sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = offB.value(pid)
-      it.flatMap { case (_, text, _) =>
-        val docId = i
-        i += 1
-        val (tfs, len) = Text.termFreqs(text)
-        tfs.iterator.map { case (t, tf) =>
-          Posting(t, shardOf(docId), docId, tf, len)
-        }
-      }
-    }
-
-    // --- stage 4+5: range-partitioned merge + block encode ---
-    val blocks = encodeBlocks(spark, postings, opts).persist()
+    // --- stages 2b+4+5: SPIMI partial-run inversion + compact merge ---
+    val blocks = spimiBlocks(sorted, offB, numDocs, nShards,
+      (0L, Long.MaxValue), opts).persist()
 
     // --- dictionary: df/cf/bound inputs per term (map-side combined agg) ---
     val dict = dictFromBlocks(spark, blocks).persist()
@@ -131,17 +118,16 @@ object IndexBuilder {
     * partial aggregation is automatic (hash agg). */
   def dictFromBlocks(spark: SparkSession, blocks: Dataset[Block]): Dataset[DictEntry] = {
     import spark.implicits._
-    val cfOf = udf((b: Array[Byte]) => Codec.decodeTfs(b).map(_.toLong).sum)
     blocks.groupBy($"term").agg(
       sum($"n").cast("long").as("df"),
-      sum(cfOf($"tfBytes")).cast("long").as("cf"),
+      sum($"tfSum").cast("long").as("cf"),
       max($"maxTf").as("maxTf"),
       min($"minDl").as("minDl"))
       .as[DictEntry]
   }
 
-  /** Stages 4+5 shared by build paths: sort-merge postings into
-    * self-contained compressed blocks.
+  /** Stages 4+5 shared by the small/streaming build paths: sort-merge raw
+    * posting rows into self-contained compressed blocks.
     *
     * Hash-partitioned on (term, shard): a (term, shard) posting run never
     * splits across partitions, so the block decomposition is a pure
@@ -160,6 +146,149 @@ object IndexBuilder {
       .mapPartitions { it =>
         new BlockCutter(it, bs)
       }
+  }
+
+  /** SPIMI proper, the bulk path: invert each input partition into
+    * COMPRESSED partial runs first (per-partition term hashmap, spilled as
+    * delta-varbyte blocks when the posting budget is hit — the classic
+    * single-pass-in-memory-indexing spill), then shuffle only those
+    * compact runs and merge each (term, shard)'s runs into the final
+    * 128-posting blocks. Vs shuffling raw (term, docId, tf, dl) rows this
+    * moves ~10x fewer bytes — the difference between a merge that is
+    * shuffle-bound and one that is tokenize-bound at 100 TB.
+    *
+    * Runs from different input partitions cover disjoint increasing docId
+    * ranges (docIds are positional in the url-sorted input), so the merge
+    * is concatenation-after-sort-by-firstDocId; the final block layout is
+    * a pure function of each (term, shard)'s full posting run —
+    * independent of partitioning, chunking, and spill points — which is
+    * what makes resumed ≡ one-shot byte-identical. */
+  private[graft] def spimiBlocks(
+      sorted: Dataset[(String, String, String)],
+      offsets: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      numDocs: Long, nShards: Int,
+      keepRange: (Long, Long), opts: Options,
+      spillBudget: Int = 1000000): Dataset[Block] = {
+    import sorted.sparkSession.implicits._
+    val bs = opts.blockSize
+    val (dLo, dHi) = keepRange
+    val partial: Dataset[Block] = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      // whole-partition pruning: if this partition's docId range is
+      // disjoint from the chunk's, never pull the iterator — rows are
+      // not deserialized and the lazy parquet scan does no work
+      if (pid + 1 < offsets.value.length &&
+          (offsets.value(pid + 1) <= dLo || offsets.value(pid) >= dHi)) {
+        Iterator.empty
+      } else spimiPartition(it, offsets.value(pid), dLo, dHi, numDocs, nShards, spillBudget)
+    }
+    mergeRuns(partial, bs)
+  }
+
+  private def spimiPartition(it: Iterator[(String, String, String)], base: Long,
+                             dLo: Long, dHi: Long, numDocs: Long, nShards: Int,
+                             spillBudget: Int): Iterator[Block] = {
+      var i = base
+      val map = new java.util.HashMap[String, PostBuf]()
+      var pending = 0L
+      var out = List.empty[Iterator[Block]]
+      def flush(): Unit = if (pending > 0) {
+        val runs = new scala.collection.mutable.ArrayBuffer[Block](map.size)
+        val e = map.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          kv.getValue.emitRuns(kv.getKey, runs)
+        }
+        map.clear(); pending = 0
+        out = runs.iterator :: out
+      }
+      it.foreach { case (_, text, _) =>
+        val docId = i; i += 1
+        if (docId >= dLo && docId < dHi) {
+          val shard =
+            if (numDocs == 0) 0
+            else math.min(nShards - 1, (docId * nShards / numDocs).toInt)
+          val (tfs, len) = Text.termFreqs(text)
+          var t = 0
+          while (t < tfs.length) {
+            val (term, tf) = tfs(t)
+            var b = map.get(term)
+            if (b == null) { b = new PostBuf; map.put(term, b) }
+            b.add(shard, docId, tf, len)
+            pending += 1
+            t += 1
+          }
+          if (pending >= spillBudget) flush()
+        }
+      }
+      flush()
+      out.reverse.iterator.flatten
+  }
+
+  /** Merge each (term, shard)'s disjoint partial runs into final blocks. */
+  private def mergeRuns(partial: Dataset[Block], bs: Int): Dataset[Block] = {
+    import partial.sparkSession.implicits._
+    partial.groupByKey(b => (b.term, b.shard)).flatMapGroups {
+      (key: (String, Int), runs: Iterator[Block]) =>
+        val (term, shard) = key
+        val rs = runs.toArray.sortBy(_.firstDocId)
+        if (rs.length == 1 && rs(0).n <= bs) Iterator(rs(0))
+        else {
+          val total = rs.map(_.n).sum
+          val ids = new Array[Long](total)
+          val tfs = new Array[Int](total)
+          val dls = new Array[Int](total)
+          var o = 0
+          rs.foreach { r =>
+            val rIds = Codec.decodeDocIds(r.docBytes, -1L)
+            val rTfs = Codec.decodeTfs(r.tfBytes)
+            val rDls = Codec.decodeTfs(r.dlBytes)
+            System.arraycopy(rIds, 0, ids, o, rIds.length)
+            System.arraycopy(rTfs, 0, tfs, o, rTfs.length)
+            System.arraycopy(rDls, 0, dls, o, rDls.length)
+            o += rIds.length
+          }
+          (0 until total by bs).iterator.map { lo =>
+            val hi = math.min(lo + bs, total)
+            encodeBlock(term, shard, ids.slice(lo, hi), tfs.slice(lo, hi),
+              dls.slice(lo, hi))
+          }
+        }
+    }
+  }
+
+  /** Per-term growable posting buffer for the SPIMI pass; docIds (and
+    * therefore shards) arrive in increasing order. */
+  private final class PostBuf {
+    private var shards = new Array[Int](4)
+    private var ids = new Array[Long](4)
+    private var tfs = new Array[Int](4)
+    private var dls = new Array[Int](4)
+    private var n = 0
+    def add(shard: Int, docId: Long, tf: Int, dl: Int): Unit = {
+      if (n == ids.length) {
+        val c = n * 2
+        shards = java.util.Arrays.copyOf(shards, c)
+        ids = java.util.Arrays.copyOf(ids, c)
+        tfs = java.util.Arrays.copyOf(tfs, c)
+        dls = java.util.Arrays.copyOf(dls, c)
+      }
+      shards(n) = shard; ids(n) = docId; tfs(n) = tf; dls(n) = dl
+      n += 1
+    }
+    /** One compressed run per shard boundary (shards are non-decreasing). */
+    def emitRuns(term: String, out: scala.collection.mutable.ArrayBuffer[Block]): Unit = {
+      var lo = 0
+      while (lo < n) {
+        var hi = lo + 1
+        while (hi < n && shards(hi) == shards(lo)) hi += 1
+        out += encodeBlock(term, shards(lo),
+          java.util.Arrays.copyOfRange(ids, lo, hi),
+          java.util.Arrays.copyOfRange(tfs, lo, hi),
+          java.util.Arrays.copyOfRange(dls, lo, hi))
+        lo = hi
+      }
+    }
   }
 
   /** Streaming block cutter over (term, shard, docId)-sorted postings. */
@@ -188,14 +317,16 @@ object IndexBuilder {
                   dls: Array[Int]): Block = {
     var maxTf = 0
     var minDl = Int.MaxValue
+    var tfSum = 0L
     var i = 0
     while (i < ids.length) {
       if (tfs(i) > maxTf) maxTf = tfs(i)
       if (dls(i) < minDl) minDl = dls(i)
+      tfSum += tfs(i)
       i += 1
     }
     Block(term, Model.bucketOf(term), shard, ids.head, ids.last, ids.length,
       Codec.encodeDocIds(ids, -1L), Codec.encodeTfs(tfs), Codec.encodeTfs(dls),
-      maxTf, minDl)
+      maxTf, minDl, tfSum)
   }
 }

@@ -184,7 +184,7 @@ object InvertedIndex {
       spark.read.parquet(s"$dir/docs").as[DocMeta],
       spark.read.parquet(s"$dir/blocks").select(
         "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-        "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl").as[Block],
+        "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl", "tfSum").as[Block],
       spark.read.parquet(s"$dir/dict").as[DictEntry],
       stats)
   }

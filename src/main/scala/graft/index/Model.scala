@@ -39,7 +39,8 @@ final case class Block(
     tfBytes: Array[Byte],
     dlBytes: Array[Byte],
     maxTf: Int,
-    minDl: Int)
+    minDl: Int,
+    tfSum: Long)
 
 /** Dictionary row: global per-term stats (df = doc freq, cf = collection
   * freq, (maxTf, minDl) = global tf-part bound inputs). */

@@ -28,11 +28,21 @@ import graft.core.Text
 object ResumableBuild {
 
   /** @param failAfterChunks test hook: throw after k chunks committed
-    *   (the kill-and-resume metamorphic test's injection point). */
+    *   (the kill-and-resume metamorphic test's injection point).
+    * @param assumeSorted the corpus is already partitioned + url-sorted at
+    *   rest (the realistic 10^12-doc layout: a crawl table is ingested
+    *   once, never re-sorted per build). Skips the global range shuffle;
+    *   docIds are positional over the table's own partition layout —
+    *   still dense + deterministic, per SURVEY.md §7.3.
+    * @param parallelChunks chunk jobs submitted concurrently (they are
+    *   independent; resume granularity is unchanged). Overlapping jobs
+    *   hides per-stage scheduling barriers on big executors. */
   def build(spark: SparkSession, webpages: DataFrame, dir: String,
             opts: IndexBuilder.Options = IndexBuilder.Options(),
             numChunks: Int = 8,
-            failAfterChunks: Option[Int] = None): InvertedIndex = {
+            failAfterChunks: Option[Int] = None,
+            assumeSorted: Boolean = false,
+            parallelChunks: Int = 1): InvertedIndex = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val in = IndexBuilder.normalize(spark, webpages).as[(String, String, String)]
@@ -40,32 +50,52 @@ object ResumableBuild {
     // stage 1 (always recomputed — deterministic given the input): global
     // sort + per-partition counts -> dense docId offsets
     val parts = opts.rangePartitions
-    val sorted = in.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
-      .persist()
-    val counts = sorted.mapPartitions { it =>
-      Iterator((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().toMap
-    val offsets = new Array[Long](parts + 1)
-    (0 until parts).foreach(p => offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
-    val numDocs = offsets(parts)
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.props.get("graft.phaseTiming").isDefined)
+        println(f"[phase] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // assumeSorted: no cache — recomputation is deterministic (no range
+    // sampling involved) and at corpus scale you stream from the table
+    // instead of caching it; the range-shuffled path MUST cache because
+    // the range partitioner resamples on recompute.
+    val sorted0 = if (assumeSorted) in.sortWithinPartitions($"url")
+                  else in.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+    val sorted = if (assumeSorted) sorted0 else sorted0.persist()
+    // per-partition row counts. assumeSorted: counts come from the SOURCE
+    // partitioning (identical to sorted's), column-pruned to url only so
+    // parquet never materializes `text`; range mode: counts must come
+    // from the shuffled+cached layout itself.
+    val counts = phase("sort+count") {
+      val base = if (assumeSorted) in.toDF().select($"url")
+                 else sorted.toDF().select($"url")
+      base.mapPartitions { it =>
+        Iterator((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap }
+    val nparts = if (assumeSorted) counts.keys.maxOption.map(_ + 1).getOrElse(0).max(1) else parts
+    val offsets = new Array[Long](nparts + 1)
+    (0 until nparts).foreach(p => offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
+    val numDocs = offsets(nparts)
     val nShards = opts.numShards
     val offB = spark.sparkContext.broadcast(offsets)
     def shardOf(docId: Long): Int =
       if (numDocs == 0) 0 else math.min(nShards - 1, (docId * nShards / numDocs).toInt)
 
-    // docs + stats (cheap; idempotent overwrite)
-    val docs = sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = offB.value(pid)
-      it.map { case (url, text, lang) =>
-        val d = DocMeta(i, shardOf(i), url, Text.tokenize(text).length, lang); i += 1; d
-      }
-    }.persist()
-    val totTok = if (numDocs == 0) 0L else docs.agg(sum($"docLen")).as[Long].head()
-    val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
-    val stats = IndexStats(numDocs, totTok, avgdl, nShards)
-    docs.write.mode("overwrite").parquet(s"$dir/docs")
-    Seq(stats).toDS().write.mode("overwrite").json(s"$dir/stats")
+    // doc metadata pass (docLen via the allocation-free token counter);
+    // runs CONCURRENTLY with the chunk jobs below — stats are derived
+    // from the written table at finalize, nothing downstream of the
+    // chunks needs them
+    def writeDocs(): Unit = phase("docs-write") {
+      sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var i = offB.value(pid)
+        it.map { case (url, text, lang) =>
+          val d = DocMeta(i, shardOf(i), url, Text.countTokens(text), lang); i += 1; d
+        }
+      }.write.mode("overwrite").parquet(s"$dir/docs")
+    }
 
     // chunk c = a group of whole shards (contiguous docId range). Chunks
     // align to shard boundaries so a (term, shard) posting run is never
@@ -82,36 +112,44 @@ object ResumableBuild {
     val chunks = (0 until numChunks).filter(c => (0 until nShards).exists(chunkOfShard(_) == c))
 
     var doneCount = 0
-    chunks.foreach { c =>
+    val pool =
+      if (parallelChunks > 1)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(parallelChunks))
+      else None
+    def runChunk(c: Int): Unit = {
       val segDir = new Path(s"$dir/blocks/chunk=$c")
       val maniPath = new Path(s"$dir/manifest/chunk-$c.json")
       val committed = fs.exists(maniPath) && fs.exists(new Path(segDir, "_SUCCESS"))
       val (dLo, dHi) = chunkDocRange(c)
       if (!committed) {
         val t0 = System.nanoTime()
-        // positional filter on the chunk's docId range; rows outside it
-        // are skipped BEFORE tokenization (cheap row skip). At cluster
-        // scale the corpus would be a sorted table and this filter prunes
-        // whole files by url range; the docId math is identical.
-        val postings = sorted.mapPartitions { it =>
-          val pid = TaskContext.getPartitionId()
-          var i = offB.value(pid)
-          it.flatMap { case (_, text, _) =>
-            val docId = i; i += 1
-            if (docId < dLo || docId >= dHi) Iterator.empty
-            else {
-              val (tfs, len) = Text.termFreqs(text)
-              tfs.iterator.map { case (t, tf) =>
-                Posting(t, shardOf(docId), docId, tf, len)
-              }
-            }
-          }
-        }
-        val blocks = IndexBuilder.encodeBlocks(spark, postings, opts).persist()
-        val (nBlocks, nPostings) = blocks.agg(count(lit(1)), sum($"n"))
-          .as[(Long, Option[Long])].head() match { case (b, p) => (b, p.getOrElse(0L)) }
-        blocks.write.mode("overwrite").parquet(segDir.toString)
-        blocks.unpersist()
+        // SPIMI over the chunk's docId range; rows outside it are skipped
+        // BEFORE tokenization (cheap row skip). At cluster scale the
+        // corpus would be a sorted table and this filter prunes whole
+        // files by url range; the docId math is identical.
+        // single pass: spimi -> parquet. Counts and the dictionary partial
+        // come from the WRITTEN files afterwards — parquet column pruning
+        // reads only the four small int columns, so this is far cheaper
+        // than caching the block payloads (a columnar persist here would
+        // re-encode + spill gigabytes)
+        val blocks = IndexBuilder.spimiBlocks(sorted, offB, numDocs, nShards,
+          (dLo, dHi), opts)
+        phase(s"chunk$c-write") {
+          // no parquet dictionary pages: the compressed payload columns
+          // are high-entropy, the encoder always falls back (wasted CPU)
+          blocks.write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(segDir.toString) }
+        val written = spark.read.parquet(segDir.toString)
+        val (nBlocks, nPostings) = phase(s"chunk$c-stats") {
+          written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
+            .as[(Long, Long)].head() }
+        written.groupBy($"term").agg(
+            sum($"n").cast("long").as("df"),
+            sum($"tfSum").cast("long").as("cf"),
+            max($"maxTf").as("maxTf"),
+            min($"minDl").as("minDl"))
+          .write.mode("overwrite").parquet(s"$dir/dictparts/chunk=$c")
         val ms = (System.nanoTime() - t0) / 1000000
         val chunkDocs = dHi - dLo
         val bytes = fs.getContentSummary(segDir).getLength
@@ -119,28 +157,54 @@ object ResumableBuild {
           if (ms == 0) 0.0 else chunkDocs * 1000.0 / ms)
         writeManifest(fs, maniPath, row)
       }
-      doneCount += 1
-      failAfterChunks.foreach { k =>
-        if (doneCount >= k && doneCount < chunks.size)
-          throw new RuntimeException(s"injected failure after $doneCount chunks")
-      }
     }
+    pool match {
+      case Some(p) =>
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(p)
+        val futs = scala.concurrent.Future(writeDocs()) +:
+          chunks.map(c => scala.concurrent.Future(runChunk(c)))
+        futs.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        p.shutdown()
+      case None =>
+        writeDocs()
+        chunks.foreach { c =>
+          runChunk(c)
+          doneCount += 1
+          failAfterChunks.foreach { k =>
+            if (doneCount >= k && doneCount < chunks.size)
+              throw new RuntimeException(s"injected failure after $doneCount chunks")
+          }
+        }
+    }
+    // stats from the written doc table (one tiny agg) + the docs handle
+    val docs = spark.read.parquet(s"$dir/docs").as[DocMeta]
+    val totTok = if (numDocs == 0) 0L
+      else docs.agg(coalesce(sum($"docLen"), lit(0L))).as[Long].head()
+    val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
+    val stats = IndexStats(numDocs, totTok, avgdl, nShards)
+    Seq(stats).toDS().write.mode("overwrite").json(s"$dir/stats")
 
-    // finalize: dict + format stamp from the union of segments
-    val blocks = readBlocks(spark, dir).persist()
-    val dict = IndexBuilder.dictFromBlocks(spark, blocks).persist()
-    dict.write.mode("overwrite").parquet(s"$dir/dict")
+    // finalize: merge per-chunk dictionary partials + format stamp
+    val dict = phase("dict-write") {
+      val partial = spark.read.parquet(s"$dir/dictparts")
+      val merged = partial.groupBy($"term").agg(
+        sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"),
+        max($"maxTf").cast("int").as("maxTf"), min($"minDl").cast("int").as("minDl"))
+        .as[DictEntry]
+      merged.write.mode("overwrite").parquet(s"$dir/dict")
+      spark.read.parquet(s"$dir/dict").as[DictEntry]
+    }
     Seq(("graft-index", IndexBuilder.FormatVersion)).toDF("magic", "version")
       .write.mode("overwrite").json(s"$dir/format")
-    sorted.unpersist()
-    InvertedIndex(spark, docs, blocks, dict, stats)
+    if (!assumeSorted) sorted.unpersist()
+    InvertedIndex(spark, docs, readBlocks(spark, dir), dict, stats)
   }
 
   def readBlocks(spark: SparkSession, dir: String): Dataset[Block] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/blocks").select(
       "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-      "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl").as[Block]
+      "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl", "tfSum").as[Block]
   }
 
   def readManifest(spark: SparkSession, dir: String): Seq[ManifestRow] = {

@@ -71,7 +71,7 @@ object StreamingIndex {
       val pid = TaskContext.getPartitionId()
       var i = baseDocs + offB.value(pid)
       it.map { case (url, text, lang) =>
-        val d = DocMeta(i, shard, url, Text.tokenize(text).length, lang); i += 1; d
+        val d = DocMeta(i, shard, url, Text.countTokens(text), lang); i += 1; d
       }
     }.persist()
     val batchTokens = docs.agg(sum($"docLen")).as[Long].head()

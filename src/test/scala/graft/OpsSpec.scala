@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops._
+
+/** Spark-level tests for dedup / ANN / multimodal operators, including
+  * the approximate paths the oracle gate can't cover (LSH recall, IVF
+  * probe-recall tradeoff, simhash banding). */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def randText(rnd: scala.util.Random, len: Int): String =
+    (0 until len).map(_ => s"w${rnd.nextInt(80)}").mkString(" ")
+
+  test("LSH near-dup: finds every planted near-duplicate, no false positives above threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val docs = (0L until 200L).map(i => (i, randText(rnd, 150 + rnd.nextInt(100))))
+    // plant near-dups: copy with a few appended tokens
+    val dups = docs.take(30).map { case (i, t) => (i + 1000, t + " qq rr ss") }
+    val all = (docs ++ dups).toDF("doc_id", "text")
+    val got = Dedup.lshNearDupPairs(all, "doc_id", "text", threshold = 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val wantPlanted = docs.take(30).map { case (i, _) => (i, i + 1000) }.toSet
+    assert(wantPlanted.subsetOf(got), s"missed ${wantPlanted -- got}")
+    // verification step guarantees precision: every returned pair really
+    // has exact shingle-jaccard >= 0.8
+    val sh = Dedup.shingles(all, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, 0.8).select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("simhash near-dup banding finds planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val docs = (0L until 150L).map(i => (i, randText(rnd, 200)))
+    val dups = docs.take(20).map { case (i, t) => (i + 1000, t + " zz") }
+    val all = (docs ++ dups).toDF("doc_id", "text")
+    val got = TextOps.simhashNearDups(all, "doc_id", "text", maxDist = 6)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val want = docs.take(20).map { case (i, _) => (i, i + 1000) }.toSet
+    assert(want.subsetOf(got), s"missed ${want -- got}")
+  }
+
+  test("IVF: exact at nProbe=k, recall reported at nProbe<k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // clustered vectors: 8 centers, points near them
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      val v = Array.tabulate(16)(d => (if (d % 8 == c % 8) 5f else 0f) + rnd.nextFloat() * 0.5f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 3).select($"embedding")
+      .as[Seq[Float]].head()
+    val brute = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Cosine)
+      .select($"key").as[Long].collect().toSeq
+    val ivf = Ann.buildIvf(spark, emb, "vec_id", "embedding", kCenters = 8, iters = 3)
+    val exact = Ann.ivfTopK(ivf, q, 10, nProbe = 8).select($"key").as[Long].collect().toSeq
+    assert(exact == brute, "nProbe == kCenters must equal brute force")
+    val probed = Ann.ivfTopK(ivf, q, 10, nProbe = 2).select($"key").as[Long].collect().toSeq
+    val recall = probed.toSet.intersect(brute.toSet).size / 10.0
+    assert(recall >= 0.8, s"recall@nProbe=2 was $recall") // clustered data: high recall
+  }
+
+  test("multimodal: payload plumbing shapes and stub decode determinism") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.withPayload(docs, "text"), "doc_id")
+      .orderBy($"key").collect()
+    assert(meta(0).getLong(1) == 11L) // n_bytes of "hello world"
+    assert(meta(1).getLong(1) == 0L)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(docs, "text"), "doc_id", stride = 4)
+      .orderBy($"key").select($"frames").as[Seq[Array[Byte]]].collect()
+    assert(frames(0).length == 2) // 11 bytes / stride 4 = 2 frames
+    assert(frames(0).head.toSeq == Seq('h'.toByte))
+  }
+
+  test("exact dedup groups") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1 && g(0).getLong(1) == 3 && g(0).getLong(2) == 1)
+  }
+}
