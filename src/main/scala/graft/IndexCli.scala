@@ -103,6 +103,18 @@ object IndexCli {
           s"  chunk ${m.chunk}: status=${m.status} docs=${m.docs} bytes=${m.bytes}"))
         spark.stop()
 
+      case "explain" =>
+        // plan audit: show that the candidate-block scan prunes by bucket
+        // partition + term pushdown before anything shuffles
+        if (args.length < 3) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val ix = InvertedIndex.load(spark, args(1))
+        val q = args.drop(2).mkString(" ")
+        println("=== search plan ===")
+        ix.search(q, 10).explain("formatted")
+        spark.stop()
+
       case other =>
         System.err.println(s"unknown subcommand: $other")
         usage(); sys.exit(2)

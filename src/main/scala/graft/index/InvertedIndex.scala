@@ -41,6 +41,15 @@ final case class InvertedIndex(
   private def emptyResult: DataFrame =
     spark.emptyDataset[ScoredDoc].toDF()
 
+  /** Candidate blocks for a term set: the bucket filter prunes partition
+    * directories of a saved index (partitionBy("bucket")) and parquet
+    * row groups via min/max stats before the term filter even runs —
+    * query scans touch only files that can contain the query's terms. */
+  private def candidateBlocks(terms: Seq[String]): Dataset[Block] = {
+    val buckets = terms.map(Model.bucketOf).distinct
+    blocks.filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+  }
+
   /** Exact top-k BM25 (k1=1.2, b=0.75), rank-identical to brute force:
     * (score desc, docId asc). Optional metadata filter (docs predicate) and
     * tombstone set (deleted docIds, jvector markNodeDeleted analog:
@@ -54,7 +63,7 @@ final case class InvertedIndex(
     val avgdl = stats.avgdl
     val kk = k
 
-    val cand = blocks.filter($"term".isin(plan.keys.toSeq: _*))
+    val cand = candidateBlocks(plan.keys.toSeq)
 
     val localTopK: Dataset[ScoredDoc] = (docFilter, tombstones) match {
       case (None, None) =>
@@ -97,7 +106,7 @@ final case class InvertedIndex(
     if (plan.isEmpty) return emptyResult
     val planB = spark.sparkContext.broadcast(plan)
     val avgdl = stats.avgdl
-    blocks.filter($"term".isin(plan.keys.toSeq: _*))
+    candidateBlocks(plan.keys.toSeq)
       .groupByKey(_.shard).flatMapGroups { (_, it) =>
         Searcher.thresholdOnBlocks(it, planB.value, tau, avgdl)
       }.toDF()
@@ -115,7 +124,7 @@ final case class InvertedIndex(
     val allTerms = plans.flatMap(_._2.keys).distinct
     val avgdl = stats.avgdl
     val kk = k
-    val local = blocks.filter($"term".isin(allTerms: _*))
+    val local = candidateBlocks(allTerms)
       .groupByKey(_.shard).flatMapGroups { (_, it) =>
         val bs = it.toArray
         plansB.value.iterator.flatMap { case (qid, plan) =>
