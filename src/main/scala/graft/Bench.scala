@@ -79,7 +79,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "720000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1080000").toLong
 
     // ---- phase 1: gate queries on sfDir ----
     val spark = session(cpus)
@@ -124,6 +124,9 @@ object Bench {
     val thr = (t: Double) => scaleDocs / t
     val eff28 = (thr(t8) / thr(t2)) / 4.0
     val eff832 = (thr(t32) / thr(t8)) / 4.0
+
+    // free the tmpfs working set (corpus + throwaway indexes)
+    scala.reflect.io.Path(tmpBase).deleteRecursively()
 
     val total = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
