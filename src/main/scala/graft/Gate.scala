@@ -53,7 +53,7 @@ object Gate {
   def index(spark: SparkSession, sfDir: String): InvertedIndex =
     cache.getOrElseUpdate(sfDir, {
       IndexBuilder.build(spark, asPages(documents(spark, sfDir)),
-        IndexBuilder.Options(numShards = 16, rangePartitions = 16))
+        IndexBuilder.Options(numShards = 16, rangePartitions = 16)).prepared()
     })
 
   def tombstoneDocIds(spark: SparkSession, sfDir: String) = {

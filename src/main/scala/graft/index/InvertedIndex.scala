@@ -19,7 +19,8 @@ final case class InvertedIndex(
     docs: Dataset[DocMeta],
     blocks: Dataset[Block],
     dict: Dataset[DictEntry],
-    stats: IndexStats) {
+    stats: IndexStats,
+    sharded: Boolean = false) {
 
   import spark.implicits._
 
@@ -40,6 +41,21 @@ final case class InvertedIndex(
 
   private def emptyResult: DataFrame =
     spark.emptyDataset[ScoredDoc].toDF()
+
+  /** Query-optimized clone: blocks co-located by doc-shard and cached, so
+    * every subsequent search is a narrow in-memory scan + per-partition
+    * WAND — no per-query shuffle (the hot-region cache idea of jvector's
+    * CachingGraphIndex:29-46, as a one-time exchange amortized over all
+    * queries). Correct because a shard is a docId range: co-locating by
+    * shard puts every block that can touch a given doc in one partition. */
+  def prepared(numPartitions: Int = 0): InvertedIndex = {
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val b = blocks.repartition(p, $"shard").persist()
+    val d = dict.persist()
+    b.count(); d.count()
+    copy(blocks = b, dict = d, sharded = true)
+  }
 
   /** Candidate blocks for a term set: the bucket filter prunes partition
     * directories of a saved index (partitionBy("bucket")) and parquet
@@ -66,6 +82,13 @@ final case class InvertedIndex(
     val cand = candidateBlocks(plan.keys.toSeq)
 
     val localTopK: Dataset[ScoredDoc] = (docFilter, tombstones) match {
+      case (None, None) if sharded =>
+        // shard-co-located blocks: no exchange, one WAND per partition
+        // (blocks of one term from several shards concatenate validly —
+        // shards are disjoint increasing docId ranges)
+        cand.mapPartitions { it =>
+          Searcher.wandOnBlocks(it, planB.value, kk, avgdl, Wand.DocFilter.All)
+        }
       case (None, None) =>
         cand.groupByKey(_.shard).flatMapGroups { (_, it) =>
           Searcher.wandOnBlocks(it, planB.value, kk, avgdl, Wand.DocFilter.All)
@@ -106,10 +129,13 @@ final case class InvertedIndex(
     if (plan.isEmpty) return emptyResult
     val planB = spark.sparkContext.broadcast(plan)
     val avgdl = stats.avgdl
-    candidateBlocks(plan.keys.toSeq)
-      .groupByKey(_.shard).flatMapGroups { (_, it) =>
-        Searcher.thresholdOnBlocks(it, planB.value, tau, avgdl)
-      }.toDF()
+    val cand = candidateBlocks(plan.keys.toSeq)
+    (if (sharded)
+       cand.mapPartitions(it => Searcher.thresholdOnBlocks(it, planB.value, tau, avgdl))
+     else
+       cand.groupByKey(_.shard).flatMapGroups { (_, it) =>
+         Searcher.thresholdOnBlocks(it, planB.value, tau, avgdl)
+       }).toDF()
   }
 
   /** Batch search: one shared pass over the candidate blocks scores every
@@ -124,14 +150,18 @@ final case class InvertedIndex(
     val allTerms = plans.flatMap(_._2.keys).distinct
     val avgdl = stats.avgdl
     val kk = k
-    val local = candidateBlocks(allTerms)
-      .groupByKey(_.shard).flatMapGroups { (_, it) =>
-        val bs = it.toArray
-        plansB.value.iterator.flatMap { case (qid, plan) =>
-          Searcher.wandOnBlocks(bs.iterator, plan, kk, avgdl, Wand.DocFilter.All)
-            .map(sd => (qid, sd.docId, sd.score))
-        }
-      }.toDF("queryId", "docId", "score")
+    val candAll = candidateBlocks(allTerms)
+    def scoreAll(it: Iterator[Block]): Iterator[(Int, Long, Double)] = {
+      val bs = it.toArray
+      plansB.value.iterator.flatMap { case (qid, plan) =>
+        Searcher.wandOnBlocks(bs.iterator, plan, kk, avgdl, Wand.DocFilter.All)
+          .map(sd => (qid, sd.docId, sd.score))
+      }
+    }
+    val local = (if (sharded) candAll.mapPartitions(scoreAll _)
+                 else candAll.groupByKey(_.shard)
+                   .flatMapGroups((_: Int, it: Iterator[Block]) => scoreAll(it)))
+      .toDF("queryId", "docId", "score")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"queryId").orderBy($"score".desc, $"docId".asc)
     local.withColumn("rank", row_number().over(w)).filter($"rank" <= k)

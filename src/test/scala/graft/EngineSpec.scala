@@ -182,6 +182,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loaded.stats == index.stats)
   }
 
+  test("prepared (shard-co-located) index gives identical results, no exchange") {
+    import spark.implicits._
+    val prep = index.prepared()
+    queryStrings.take(6).foreach { q =>
+      val got = prep.search(q, 10).as[(Long, Double)].collect().toSeq
+      assert(got == engineTopK(q, 10), s"prepared mismatch for '$q'")
+    }
+    val exchanges = prep.search("t0 t1", 10).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      "prepared search should not shuffle candidate blocks by shard")
+    val t = prep.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
+    val t0 = index.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
+    assert(t == t0)
+  }
+
   test("empty and degenerate queries") {
     assert(engineTopK("", 10).isEmpty)
     assert(engineTopK("zzzznope", 10).isEmpty)
