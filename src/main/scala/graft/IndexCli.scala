@@ -12,8 +12,10 @@ import graft.index._
   *
   *   build <inputParquetOrSynth:N> <indexDir> [chunks]   (BULKLOAD)
   *   query <indexDir> <k> <query terms...>               (SEARCH)
+  *   serve <indexDir> [k]                                (SEARCH loop)
   *   compact <indexDir> <outDir> <tombstoneCsv>          (OPTIMIZE)
   *   stats <indexDir>                                    (MEMORY)
+  *   explain <indexDir> <query terms...>                 (plan audit)
   *   bench <N> [see Bench.scala for the driver-run harness]
   *
   * Input is either a parquet path with (url, text|html, lang) columns or
@@ -103,6 +105,32 @@ object IndexCli {
           s"  chunk ${m.chunk}: status=${m.status} docs=${m.docs} bytes=${m.bytes}"))
         spark.stop()
 
+      case "serve" =>
+        // long-lived serving loop (jvector IPCService.java:325-368 analog):
+        // prepare once (shard-co-located cached blocks + driver hot dict),
+        // then answer queries from stdin with no per-query planning job.
+        if (args.length < 2) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val k = if (args.length > 2) args(2).toInt else 10
+        val hot = HotIndex(InvertedIndex.load(spark, args(1)))
+        hot.search("warmup", 1) // touch the cache + JIT the kernel
+        println(s"ready: ${hot.stats.numDocs} docs, k=$k (query per line; empty line or EOF quits)")
+        val in = scala.io.Source.stdin.getLines()
+        var go = true
+        while (go && in.hasNext) {
+          val q = in.next().trim
+          if (q.isEmpty) go = false
+          else {
+            val t0 = System.nanoTime()
+            val hits = hot.search(q, k)
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[$ms%.1f ms] " + hits.map(sd =>
+              f"${sd.docId}:${sd.score}%.3f").mkString(" "))
+          }
+        }
+        spark.stop()
+
       case "explain" =>
         // plan audit: show that the candidate-block scan prunes by bucket
         // partition + term pushdown before anything shuffles
@@ -125,6 +153,8 @@ object IndexCli {
     """usage: IndexCli <subcommand>
       |  build <parquetPath|synth:N> <indexDir> [numChunks]
       |  query <indexDir> <k> <term> [term...]
+      |  serve <indexDir> [k]            (interactive: one query per line)
       |  compact <indexDir> <outDir> <docId,docId,...>
-      |  stats <indexDir>""".stripMargin)
+      |  stats <indexDir>
+      |  explain <indexDir> <term> [term...]""".stripMargin)
 }

@@ -18,7 +18,7 @@ object Text {
     * oracle tokenizes identically. Pattern precompiled — this is the
     * hottest scalar in the build path. */
   def tokenize(text: String): Array[String] =
-    TokenSplit.split(text.toLowerCase).filter(_.nonEmpty)
+    TokenSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** tokenize(text).length without allocating tokens — the docLen pass
     * over the corpus needs only the count. ASCII fast path (token chars

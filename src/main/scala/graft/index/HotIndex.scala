@@ -1,0 +1,87 @@
+package graft.index
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+import graft.core.{DoubleTopK, Text}
+
+/** Long-lived serving handle over a built index — the engine's analog of
+  * the reference's resident query service (jvector
+  * jvector-examples/.../IPCService.java:325-368 serves from a graph held
+  * hot in memory; graph/disk/CachingGraphIndex.java:29-46 caches the hot
+  * region near the entry point).
+  *
+  * The batch/search DataFrame path re-plans through Catalyst per query —
+  * right for throughput, wrong for a serving loop where planning dominates
+  * (~100 ms/query). Here the index is materialized ONCE as a cached RDD of
+  * per-partition `term -> blocks` hash maps (shard-co-located, so one WAND
+  * run per partition is valid: shards are disjoint increasing docId
+  * ranges); a query is then a single `sc.runJob` over those cached maps —
+  * per-term O(1) lookup + the WAND kernel + a driver-side k-way merge, no
+  * per-query planning, shuffle, or scan. The query plan itself (idf +
+  * upper bound per term) comes from the driver-resident hot dictionary.
+  *
+  * This is the one deliberately non-declarative surface of the engine
+  * (SURVEY §2.4 P5): serving latency is a per-partition imperative
+  * problem, and the RDD is built from the same Dataset[Block] the batch
+  * path queries — one format, two access paths.
+  */
+final class HotIndex private (
+    ix: InvertedIndex,
+    parts: RDD[java.util.HashMap[String, Array[Block]]]) {
+
+  def stats: IndexStats = ix.stats
+
+  /** Exact top-k BM25, rank-identical to [[InvertedIndex.search]]:
+    * (score desc, docId asc). */
+  def search(query: String, k: Int): Array[ScoredDoc] = {
+    val plan = ix.queryPlanFor(query)
+    if (plan.isEmpty || k <= 0) return Array.empty
+    val avgdl = ix.stats.avgdl
+    val kk = k
+    val perPart: Array[Array[ScoredDoc]] =
+      ix.spark.sparkContext.runJob(parts,
+        (it: Iterator[java.util.HashMap[String, Array[Block]]]) =>
+          if (!it.hasNext) Array.empty[ScoredDoc]
+          else {
+            val m = it.next()
+            val termBlocks = plan.toSeq.sortBy(_._1).flatMap { case (t, (idf, ub)) =>
+              Option(m.get(t)).map(bs => (idf, ub, bs))
+            }
+            Wand.topK(termBlocks, kk, avgdl)
+          })
+    // tiny driver merge: numPartitions × k candidates
+    val heap = new DoubleTopK(k)
+    perPart.foreach(_.foreach(sd => heap.offer(sd.score, sd.docId)))
+    heap.drain().map { case (s, d) => ScoredDoc(d, s) }
+  }
+
+  def close(): Unit = parts.unpersist()
+}
+
+object HotIndex {
+  /** Materialize the serving cache: one `term -> firstDocId-sorted blocks`
+    * map per partition, built from the shard-partitioned block Dataset and
+    * pinned in executor memory. */
+  def apply(ix0: InvertedIndex, numPartitions: Int = 0): HotIndex = {
+    val ix = if (ix0.hotDict != null) ix0 else ix0.withHotDict()
+    val sc = ix.spark.sparkContext
+    val p = if (numPartitions > 0) numPartitions else sc.defaultParallelism
+    val parts = ix.blocks.rdd
+      .map(b => (b.shard, b))
+      .partitionBy(new HashPartitioner(p))
+      .mapPartitions({ it =>
+        val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Block]]()
+        it.foreach { case (_, b) =>
+          m.computeIfAbsent(b.term,
+            _ => new scala.collection.mutable.ArrayBuffer[Block]()) += b
+        }
+        val out = new java.util.HashMap[String, Array[Block]](m.size() * 2)
+        m.forEach((t, bs) => out.put(t, bs.sortBy(_.firstDocId).toArray))
+        Iterator(out)
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_ONLY)
+    parts.count() // materialize before first query
+    new HotIndex(ix, parts)
+  }
+}

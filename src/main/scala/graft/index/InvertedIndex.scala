@@ -20,22 +20,40 @@ final case class InvertedIndex(
     blocks: Dataset[Block],
     dict: Dataset[DictEntry],
     stats: IndexStats,
-    sharded: Boolean = false) {
+    sharded: Boolean = false,
+    @transient hotDict: java.util.HashMap[String, DictEntry] = null,
+    hotComplete: Boolean = false) {
 
   import spark.implicits._
 
+  private def planEntry(e: DictEntry): (String, (Double, Double)) = {
+    val idf = Text.idf(e.df, stats.numDocs)
+    e.term -> (idf, idf * Text.tfPartial(e.maxTf, e.minDl.toLong, stats.avgdl))
+  }
+
   /** Driver-side per-query constants: idf + upper bound per term — the
     * ADC-style precompute (jvector pq/PQDecoder.java:38-60): all per-posting
-    * work at score time is one mul/add. */
+    * work at score time is one mul/add. With a [[prepared]] index the hot
+    * dictionary answers from driver memory (the serving-path analog of
+    * jvector's CachingGraphIndex hot region, graph/disk/CachingGraphIndex
+    * .java:29-46) — no Spark job per query; only terms outside a capped hot
+    * dict fall back to a dict scan. */
+  private[index] def queryPlanFor(query: String): Map[String, (Double, Double)] =
+    queryPlan(query)
+
   private def queryPlan(query: String): Map[String, (Double, Double)] = {
     val terms = Text.tokenize(query).distinct.toSeq
     if (terms.isEmpty) Map.empty
-    else {
-      val n = stats.numDocs
-      dict.filter($"term".isin(terms: _*)).collect().map { e =>
-        val idf = Text.idf(e.df, n)
-        e.term -> (idf, idf * Text.tfPartial(e.maxTf, e.minDl.toLong, stats.avgdl))
-      }.toMap
+    else if (hotDict != null) {
+      val found = terms.flatMap(t => Option(hotDict.get(t)))
+      val missing =
+        if (hotComplete) Nil else terms.filterNot(hotDict.containsKey)
+      val extra =
+        if (missing.isEmpty) Nil
+        else dict.filter($"term".isin(missing: _*)).collect().toSeq
+      (found ++ extra).map(planEntry).toMap
+    } else {
+      dict.filter($"term".isin(terms: _*)).collect().map(planEntry).toMap
     }
   }
 
@@ -48,13 +66,35 @@ final case class InvertedIndex(
     * CachingGraphIndex:29-46, as a one-time exchange amortized over all
     * queries). Correct because a shard is a docId range: co-locating by
     * shard puts every block that can touch a given doc in one partition. */
-  def prepared(numPartitions: Int = 0): InvertedIndex = {
+  def prepared(numPartitions: Int = 0,
+               hotDictCap: Int = InvertedIndex.DefaultHotDictCap): InvertedIndex = {
     val p = if (numPartitions > 0) numPartitions
             else spark.sparkContext.defaultParallelism
-    val b = blocks.repartition(p, $"shard").persist()
+    // co-locate by shard, but SORT each partition by term: the in-memory
+    // columnar cache keeps per-batch min/max stats, so a term-sorted cache
+    // prunes whole batches against the query's isin(term) filter — the
+    // per-query scan touches only the handful of batches that can contain
+    // the query terms (same trick as the on-disk bucket partitioning).
+    val b = blocks.repartition(p, $"shard")
+      .sortWithinPartitions($"term", $"firstDocId").persist()
     val d = dict.persist()
-    b.count(); d.count()
-    copy(blocks = b, dict = d, sharded = true)
+    b.count()
+    copy(blocks = b, dict = d, sharded = true).withHotDict(hotDictCap)
+  }
+
+  /** Copy with a driver-resident dictionary so [[queryPlanFor]] needs no
+    * Spark job: the whole vocab if it fits the cap (a lookup miss then
+    * means "term not in corpus" — no fallback job), else the top cap terms
+    * by collection frequency (misses fall back to a dict scan).
+    * ~60 B/entry: the default cap costs the serving driver ~250 MB. */
+  def withHotDict(cap: Int = InvertedIndex.DefaultHotDictCap): InvertedIndex = {
+    val vocab = dict.count()
+    val (entries, complete) =
+      if (vocab <= cap) (dict.collect(), true)
+      else (dict.orderBy($"cf".desc, $"term".asc).limit(cap).collect(), false)
+    val hm = new java.util.HashMap[String, DictEntry](entries.length * 2)
+    entries.foreach(e => hm.put(e.term, e))
+    copy(hotDict = hm, hotComplete = complete)
   }
 
   /** Candidate blocks for a term set: the bucket filter prunes partition
@@ -168,30 +208,63 @@ final case class InvertedIndex(
   }
 
   /** Compaction (jvector cleanup()/removeDeletedNodes,
-    * GraphIndexBuilder.java:178-207): rewrite blocks dropping tombstoned
-    * docs, recompute dictionary + stats. Returns a new index. */
-  def compact(tombstones: Dataset[Long]): InvertedIndex = {
-    val dead = tombstones.collect().toSet // compaction assumes tombstones << corpus
-    val deadB = spark.sparkContext.broadcast(dead)
-    val newDocs = docs.filter(d => !deadB.value.contains(d.docId)).persist()
+    * GraphIndexBuilder.java:437-531 — touches only affected nodes): rewrite
+    * blocks dropping tombstoned docs, recompute dictionary + stats.
+    * Returns a new index.
+    *
+    * Fully distributed — no driver-side tombstone state: the tombstone set
+    * is semi-joined with docs to (shard, docId) rows and cogrouped with the
+    * blocks of its shard (the same co-location the search deny-set path
+    * uses), so each task sees only its shard's dead ids. A block is decoded
+    * ONLY if its stored [firstDocId, lastDocId] range intersects a dead id
+    * (binary search over the per-shard sorted dead array); everything else
+    * passes through byte-identical. Block-max metadata is integer
+    * (maxTf, minDl), so the new avgdl never forces a stats-driven rewrite. */
+  def compact(tombstones: Dataset[Long],
+              metrics: InvertedIndex.CompactMetrics = null): InvertedIndex = {
+    val newDocs = docs.join(tombstones.toDF("docId"), Seq("docId"), "left_anti")
+      .as[DocMeta].persist()
     val nd = newDocs.count()
     val totTok = if (nd == 0) 0L else newDocs.agg(sum($"docLen")).as[Long].head()
     val newAvg = if (nd == 0) 0.0 else totTok.toDouble / nd
-    // rewrite only blocks containing dead ids (integer block-max metadata
-    // stays valid under the new avgdl — no stats-driven rewrite needed)
-    val newBlocks = blocks.flatMap { b =>
-      val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
-      if (!ids.exists(deadB.value.contains)) Iterator(b)
-      else {
-        val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
-        val dls = graft.core.Codec.decodeTfs(b.dlBytes)
-        val keep = ids.indices.filter(i => !deadB.value.contains(ids(i)))
-        if (keep.isEmpty) Iterator.empty
-        else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
-          keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray))
-      }
-    }.persist()
+    val deadByShard = docs.join(tombstones.toDF("docId"), Seq("docId"), "left_semi")
+      .as[DocMeta].map(d => (d.shard, d.docId))
+    val accPass = spark.sparkContext.longAccumulator("compact.passthrough")
+    val accRewrite = spark.sparkContext.longAccumulator("compact.rewritten")
+    val newBlocks = blocks.groupByKey(_.shard)
+      .cogroup(deadByShard.groupByKey(_._1)) { (_, bIt, dIt) =>
+        val dead = dIt.map(_._2).toArray
+        java.util.Arrays.sort(dead)
+        if (dead.isEmpty) bIt.map { b => accPass.add(1); b }
+        else {
+          // first dead id >= lo, then check it is <= hi
+          def intersects(lo: Long, hi: Long): Boolean = {
+            var a = 0; var b = dead.length
+            while (a < b) { val m = (a + b) >>> 1; if (dead(m) < lo) a = m + 1 else b = m }
+            a < dead.length && dead(a) <= hi
+          }
+          bIt.flatMap { b =>
+            if (!intersects(b.firstDocId, b.lastDocId)) { accPass.add(1); Iterator(b) }
+            else {
+              accRewrite.add(1)
+              val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
+              val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
+              val dls = graft.core.Codec.decodeTfs(b.dlBytes)
+              val keep = ids.indices.filter(i =>
+                java.util.Arrays.binarySearch(dead, ids(i)) < 0)
+              if (keep.isEmpty) Iterator.empty
+              else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
+                keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray))
+            }
+          }
+        }
+      }.persist()
     val newDict = IndexBuilder.dictFromBlocks(spark, newBlocks)
+    if (metrics != null) { // force once so the accumulators are final
+      newBlocks.count()
+      metrics.passthrough = accPass.value
+      metrics.rewritten = accRewrite.value
+    }
     InvertedIndex(spark, newDocs, newBlocks, newDict.persist(),
       IndexStats(nd, totTok, newAvg, stats.numShards))
   }
@@ -211,6 +284,16 @@ final case class InvertedIndex(
 }
 
 object InvertedIndex {
+  /** Default hot-dict size: 4M terms ≈ 250 MB driver heap — covers the
+    * full vocab of a web corpus's head by orders of magnitude (query terms
+    * are Zipf-distributed; tail misses fall back to a dict scan). */
+  val DefaultHotDictCap = 4000000
+
+  /** Block-touch counters from one [[InvertedIndex.compact]] run — lets
+    * callers (and tests) assert that range skipping passed untouched blocks
+    * through without decoding them. */
+  final class CompactMetrics { var passthrough = 0L; var rewritten = 0L }
+
   def load(spark: SparkSession, dir: String): InvertedIndex = {
     import spark.implicits._
     val fmt = spark.read.json(s"$dir/format").select("version").as[Long].head()

@@ -63,12 +63,15 @@ object Wand {
     def shallowTo(target: Long): Unit =
       while (!exhausted && blocks(bi).lastDocId < target) { bi += 1 }
 
-    /** Advance to first posting with docId >= target. */
+    /** Advance to first posting with docId >= target. Stays metadata-only
+      * when the landing block's firstDocId already satisfies the target —
+      * a skip that lands at a block boundary never decodes the payload
+      * (decode defers to the first deep access), so chained block skips
+      * touch only block headers. */
     def advanceTo(target: Long): Unit = {
       shallowTo(target)
-      if (!exhausted) {
+      if (!exhausted && !(decodedBi != bi && blocks(bi).firstDocId >= target)) {
         decode()
-        // galloping not needed at block size 128; linear from current pos
         if (ids(pi) < target) {
           var lo = pi; var hi = ids.length
           while (lo < hi) { // first index with ids >= target
@@ -230,36 +233,118 @@ object Wand {
     heap.drain().map { case (s, d) => ScoredDoc(d, s) }
   }
 
+  /** Block-decode counters for a threshold/topK run — lets callers (and
+    * tests) assert that block-max pruning actually skipped payloads. */
+  final class SearchStats { var decodedBlocks = 0L; var totalBlocks = 0L }
+
   /** All docs with BM25 score >= tau over one shard (threshold query, the
     * analog of jvector's similarity-threshold search GraphSearcher.java:112-115
-    * — but exact here: block skipping uses true upper bounds). DAAT merge;
-    * skips any block whose Σ reachable blockMax < tau in the single-term
-    * case, full merge otherwise. */
+    * — but exact here). Same pivot/skip machinery as [[topK]] with θ pinned
+    * to τ (no heap): any run of blocks whose Σ blockMax < τ is jumped over
+    * without decoding its payload bytes, so threshold queries over frequent
+    * terms touch only blocks that can reach τ. */
   def threshold(termBlocks: Seq[(Double, Double, Array[Block])], tau: Double,
-                avgdl: Double, filter: DocFilter = DocFilter.All): Iterator[ScoredDoc] = {
+                avgdl: Double, filter: DocFilter = DocFilter.All,
+                stats: SearchStats = null): Iterator[ScoredDoc] = {
     val cursors = termBlocks
       .map { case (idf, ub, bs) => new TermCursor(idf, ub, bs, avgdl) }
       .toArray
+    def fillStats(): Unit = if (stats != null) {
+      stats.decodedBlocks = cursors.map(_.decodedBlocks).sum
+      stats.totalBlocks = termBlocks.map(_._3.length.toLong).sum
+    }
     val sumUb = cursors.map(_.ub).sum
-    if (sumUb < tau || cursors.isEmpty) return Iterator.empty
+    if (cursors.isEmpty || sumUb < tau) { fillStats(); return Iterator.empty }
     val out = scala.collection.mutable.ArrayBuffer[ScoredDoc]()
-    var doc = cursors.map(_.curDoc).min
-    while (doc != Long.MaxValue) {
-      var s = 0.0
+    val order = cursors.indices.toArray // sorted by curDoc each round
+    var done = false
+    while (!done) {
+      var si = 1
+      while (si < order.length) {
+        val v = order(si); val vd = cursors(v).curDoc
+        var sj = si - 1
+        while (sj >= 0 && cursors(order(sj)).curDoc > vd) {
+          order(sj + 1) = order(sj); sj -= 1
+        }
+        order(sj + 1) = v
+        si += 1
+      }
+      // pivot: first prefix whose Σ ub can REACH τ (>= — equality qualifies)
+      var acc = 0.0
+      var pivotIdx = -1
       var i = 0
-      while (i < cursors.length) {
-        if (cursors(i).curDoc == doc) { s += cursors(i).score; cursors(i).next() }
+      while (i < order.length && pivotIdx == -1) {
+        acc += cursors(order(i)).ub
+        if (acc >= tau) pivotIdx = i
         i += 1
       }
-      if (s >= tau && filter.accepts(doc)) out += ScoredDoc(doc, s)
-      var nxt = Long.MaxValue
-      var j = 0
-      while (j < cursors.length) {
-        if (cursors(j).curDoc < nxt) nxt = cursors(j).curDoc
-        j += 1
+      if (pivotIdx == -1 || cursors(order(pivotIdx)).curDoc == Long.MaxValue) {
+        done = true
+      } else {
+        val pivotDoc = cursors(order(pivotIdx)).curDoc
+        while (pivotIdx + 1 < order.length &&
+               cursors(order(pivotIdx + 1)).curDoc == pivotDoc) pivotIdx += 1
+        // block-max refinement at pivotDoc (see topK for the shallow-drift
+        // caveats — identical structure, θ := τ with >= acceptance)
+        var bmSum = 0.0
+        var j = 0
+        while (j <= pivotIdx) {
+          val c = cursors(order(j)); c.shallowTo(pivotDoc)
+          if (c.curDoc <= pivotDoc) bmSum += c.blockMax
+          j += 1
+        }
+        if (bmSum < tau) {
+          // no doc covered by these blocks can reach τ: jump past the
+          // nearest block end, capped by every cursor past the pivot
+          var d = Long.MaxValue
+          var j2 = 0
+          while (j2 <= pivotIdx) {
+            val c = cursors(order(j2))
+            if (c.curDoc <= pivotDoc) d = math.min(d, c.blockLast)
+            j2 += 1
+          }
+          var target = if (d == Long.MaxValue) pivotDoc + 1 else d + 1
+          var jn = 0
+          while (jn < order.length) {
+            val cd = cursors(order(jn)).curDoc
+            if (cd > pivotDoc && cd < target) target = cd
+            jn += 1
+          }
+          var j3 = 0
+          while (j3 < order.length) {
+            val c = cursors(order(j3))
+            if (c.curDoc < target) c.advanceTo(target)
+            j3 += 1
+          }
+        } else {
+          var moved = false
+          var j4 = 0
+          while (j4 < order.length) {
+            val c = cursors(order(j4))
+            if (c.curDoc < pivotDoc) { c.advanceTo(pivotDoc); moved = true }
+            j4 += 1
+          }
+          if (!moved) {
+            if (filter.accepts(pivotDoc)) {
+              // term-order summation for reproducible fp (see topK)
+              var s = 0.0
+              var j5 = 0
+              while (j5 < cursors.length) {
+                if (cursors(j5).curDoc == pivotDoc) s += cursors(j5).score
+                j5 += 1
+              }
+              if (s >= tau) out += ScoredDoc(pivotDoc, s)
+            }
+            var j6 = 0
+            while (j6 < order.length) {
+              if (cursors(order(j6)).curDoc == pivotDoc) cursors(order(j6)).next()
+              j6 += 1
+            }
+          }
+        }
       }
-      doc = nxt
     }
+    fillStats()
     out.iterator
   }
 }

@@ -46,42 +46,68 @@ object Ann {
   }
 
   /** Deterministic k-means centroids: init = vectors of the k smallest
-    * keys, then `iters` Lloyd rounds (groupBy-avg per assignment — each
-    * round is one broadcast + one map-side-combined aggregate). */
+    * keys of the training sample, then `iters` Lloyd rounds.
+    *
+    * Scale shape (the reference trains PQ on a bounded sample too,
+    * jvector pq/ProductQuantization.java:58,131-144):
+    *  - training runs on a deterministic key-hash sample of ~trainCap
+    *    vectors (`xxhash64(key) % m == 0` — independent of partitioning,
+    *    so centroids are reproducible at any parallelism);
+    *  - each Lloyd round is one broadcast + one mapPartitions pre-sum:
+    *    every partition emits at most kCenters (sum, count) partials, so
+    *    the biggest cluster costs its partitions' pre-sums, never one
+    *    reduce task (no groupByKey skew); the k×partitions partial rows
+    *    reduce on the driver. */
   def kmeansCentroids(spark: SparkSession, emb: DataFrame, keyCol: String,
-                      vecCol: String, kCenters: Int, iters: Int): Array[Array[Double]] = {
+                      vecCol: String, kCenters: Int, iters: Int,
+                      trainCap: Long = 131072L): Array[Array[Double]] = {
     import spark.implicits._
-    val e = emb.select(col(keyCol).as("key"), vd(col(vecCol)).as("v"))
-      .as[(Long, Seq[Double])].persist()
+    val all = emb.select(col(keyCol).as("key"), vd(col(vecCol)).as("v"))
+    val n = all.count()
+    val m = math.max(1L, (n + trainCap - 1) / trainCap)
+    val e = (if (m > 1L) all.filter(pmod(xxhash64(col("key")), lit(m)) === 0)
+             else all).as[(Long, Seq[Double])].persist()
     var centroids = e.orderBy($"key").limit(kCenters).collect().map(_._2.toArray)
     (0 until iters).foreach { _ =>
       val cB = spark.sparkContext.broadcast(centroids)
-      val assigned = e.map { case (_, v) =>
-        (nearestCentroid(v.toArray, cB.value), v)
-      }
-      // per-centroid mean: typed groupByKey fold (kCenters is small; at
-      // scale this is a map-side-combinable vector-sum Aggregator)
-      val sums = assigned.groupByKey(_._1)
-        .mapGroups { (c, it) =>
-          var n = 0L
-          var acc: Array[Double] = null
-          it.foreach { case (_, v) =>
-            if (acc == null) acc = new Array[Double](v.length)
-            var i = 0
-            while (i < v.length) { acc(i) += v(i); i += 1 }
-            n += 1
-          }
-          (c, acc.map(_ / n))
-        }.collect()
+      val partials = e.mapPartitions { it =>
+        val k = cB.value.length
+        val sums = new Array[Array[Double]](k)
+        val counts = new Array[Long](k)
+        it.foreach { case (_, vs) =>
+          val v = vs.toArray
+          val c = nearestCentroid(v, cB.value)
+          if (sums(c) == null) sums(c) = new Array[Double](v.length)
+          val s = sums(c)
+          var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        (0 until k).iterator.filter(counts(_) > 0).map(c => (c, sums(c), counts(c)))
+      }.collect()
       val updated = centroids.clone()
-      sums.foreach { case (c, mean) => updated(c) = mean }
+      partials.groupBy(_._1).foreach { case (c, ps) =>
+        val acc = new Array[Double](ps.head._2.length)
+        var cnt = 0L
+        ps.foreach { case (_, s, pn) =>
+          var i = 0
+          while (i < s.length) { acc(i) += s(i); i += 1 }
+          cnt += pn
+        }
+        updated(c) = acc.map(_ / cnt)
+      }
       centroids = updated
     }
     e.unpersist()
     centroids
   }
 
-  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[ops] def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int =
+    nearestCentroidDist(v, cs)._1
+
+  /** (nearest centroid index, squared L2 distance to it). */
+  private[ops] def nearestCentroidDist(v: Array[Double],
+                                       cs: Array[Array[Double]]): (Int, Double) = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -92,7 +118,7 @@ object Ann {
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
-    best
+    (best, bestD)
   }
 
   /** IVF index: corpus partitioned by nearest centroid. */

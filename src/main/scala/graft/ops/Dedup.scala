@@ -41,15 +41,38 @@ object Dedup {
           |end""".stripMargin)).as("shingle"))
       .distinct()
 
-  /** Exact n-gram Jaccard over pairs that share >= 1 shingle.
-    * Returns (a, b, jacc) with a < b and jacc >= minJ. */
-  def jaccardPairs(sh: DataFrame, minJ: Double): DataFrame = {
-    val sizes = sh.groupBy(col("key")).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("a", "shingle")
-    val b = sh.toDF("b", "shingle")
-    val inter = a.join(b, "shingle").filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sizes, minJ)
+  /** Shingles that at most `dfCap` docs share — the candidate-generation
+    * set. Hot (boilerplate) shingles are the quadratic fanout in a shingle
+    * self-join: one shingle shared by d docs contributes d² joined rows, so
+    * the join input must exclude them; exactness is preserved by verifying
+    * candidates against ALL shingles afterwards ([[jaccardForPairs]]). */
+  def rareShingles(sh: DataFrame, dfCap: Int): DataFrame = {
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("shingle"))
+    sh.join(rare, "shingle").select(col("key"), col("shingle"))
+  }
+
+  /** Exact n-gram Jaccard over pairs that share >= 1 RARE shingle
+    * (df <= dfCap; dfCap <= 0 disables the cap). Returns (a, b, jacc) with
+    * a < b and jacc >= minJ.
+    *
+    * Two-phase: (1) candidates = the self-equi-join of rare shingles only —
+    * join fanout is bounded by dfCap² per shingle instead of exploding on a
+    * corpus-wide boilerplate shingle; (2) exact verification of candidates
+    * against the FULL shingle sets. Completeness bound: a pair with
+    * J(A,B) >= j shares >= j/(1+j)·(|A|+|B|) shingles, so it is missed only
+    * if EVERY one of those is hotter than dfCap — i.e. the overlap consists
+    * entirely of corpus-wide boilerplate, in which case the pair is a
+    * boilerplate artifact rather than a near-duplicate. At the gate scale
+    * every shingle df is far below the default cap, so the result is
+    * value-identical to the uncapped all-shared-shingle join. */
+  def jaccardPairs(sh: DataFrame, minJ: Double, dfCap: Int = 1000): DataFrame = {
+    val cand = if (dfCap > 0) rareShingles(sh, dfCap) else sh
+    val a = cand.toDF("a", "shingle")
+    val b = cand.toDF("b", "shingle")
+    val candidates = a.join(b, "shingle").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    jaccardForPairs(sh, candidates, minJ)
   }
 
   /** Exact Jaccard restricted to a given candidate pair set — the join
@@ -110,20 +133,99 @@ object Dedup {
     jaccardForPairs(sh, candidates, threshold)
   }
 
-  /** Embedding near-duplicates: pairs with cosine >= threshold. All-pairs
-    * formulation for the gate subset; the scale path is Ann.ivf bucketing. */
-  def embedCosinePairs(emb: DataFrame, keyCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
-    val e = emb.select(col(keyCol).as("k"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val a = e.toDF("a", "va")
-    val b = e.toDF("b", "vb")
+  private def pairSim: Column = {
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("sim", dot / (na * nb))
+    dot / (na * nb)
+  }
+
+  /** All-pairs embedding near-dup — O(n²) cross join. TEST ORACLE ONLY:
+    * the shipped operator is [[embedCosinePairs]] (IVF-bucketed, exact). */
+  private[graft] def embedCosinePairsBrute(emb: DataFrame, keyCol: String,
+                                           vecCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(keyCol).as("k"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    e.toDF("a", "va").crossJoin(e.toDF("b", "vb")).filter(col("a") < col("b"))
+      .withColumn("sim", pairSim)
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold — EXACT, via
+    * IVF-bucketed candidate generation (the sub-linear shape of the
+    * reference's vector search, jvector graph/GraphSearcher.java:128-134,
+    * re-expressed as cluster-pruned joins):
+    *
+    *  1. k-means over the NORMALIZED vectors (sampled + combiner training,
+    *     [[Ann.kmeansCentroids]]); assign each vector to its nearest
+    *     centroid, tracking the per-cluster radius max‖u − c‖;
+    *  2. cosine(a,b) >= t  ⟺  ‖ua − ub‖ <= r = √(2−2t), so by the triangle
+    *     inequality a qualifying pair's clusters (i,j) satisfy
+    *     ‖ci − cj‖ <= radius_i + radius_j + r — every other cluster pair is
+    *     pruned WITHOUT being joined (candidate cluster pairs are computed
+    *     driver-side from k centroids + radii; k² is tiny);
+    *  3. the point-level equi-join runs only over surviving cluster pairs,
+    *     and candidates are verified with the exact cosine expression (same
+    *     fp shape as the all-pairs formulation, so values are identical).
+    *
+    * Exact by construction (no recall knob): the bound in (2) cannot drop a
+    * qualifying pair. Shuffle is O(points × surviving-cluster fanout),
+    * never all-pairs. */
+  /** Candidate-pruning counters from one [[embedCosinePairs]] run. */
+  final class EmbedMetrics { var clusters = 0; var clusterPairs = 0 }
+
+  def embedCosinePairs(emb: DataFrame, keyCol: String, vecCol: String,
+                       threshold: Double, kCenters: Int = 16,
+                       iters: Int = 2, metrics: EmbedMetrics = null): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(keyCol).as("k"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val nrm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val unit = e.filter(nrm > 0)
+      .select(col("k"), col("v"), transform(col("v"), x => x / nrm).as("u"))
+    val centroids = Ann.kmeansCentroids(spark, unit, "k", "u", kCenters, iters)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assigned = unit.as[(Long, Seq[Double], Seq[Double])].map { case (k, v, u) =>
+      val (c, d2) = Ann.nearestCentroidDist(u.toArray, cB.value)
+      (k, c, math.sqrt(d2), v)
+    }.toDF("k", "c", "dist", "v").persist()
+    // per-cluster radius (tiny agg: kCenters rows)
+    val radii = new Array[Double](centroids.length)
+    assigned.groupBy(col("c")).agg(max(col("dist")).as("r"))
+      .as[(Int, Double)].collect().foreach { case (c, r) => radii(c) = r }
+    // candidate cluster pairs by triangle inequality (driver-side, k² ops)
+    val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val directed = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < centroids.length) {
+      directed += ((i, i))
+      var j = 0
+      while (j < centroids.length) {
+        if (i != j) {
+          var d2 = 0.0
+          var t = 0
+          while (t < centroids(i).length) {
+            val x = centroids(i)(t) - centroids(j)(t); d2 += x * x; t += 1
+          }
+          if (math.sqrt(d2) <= radii(i) + radii(j) + r) directed += ((i, j))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (metrics != null) {
+      metrics.clusters = centroids.length
+      metrics.clusterPairs = directed.size
+    }
+    val pairsDF = directed.toSeq.toDF("ca", "cb")
+    val a = assigned.select(col("k").as("a"), col("c").as("ca"), col("v").as("va"))
+    val b = assigned.select(col("k").as("b"), col("c").as("cb"), col("v").as("vb"))
+    a.join(broadcast(pairsDF), "ca").join(b, "cb")
+      .filter(col("a") < col("b"))
+      .withColumn("sim", pairSim)
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
   }

@@ -149,6 +149,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaTomb.map(urlOf) == wantT)
   }
 
+  test("compaction range-skips: untouched blocks pass through undecoded") {
+    import spark.implicits._
+    val total = index.blocks.count()
+    // tombstones matching no live doc -> zero blocks decoded/rewritten
+    val m0 = new InvertedIndex.CompactMetrics
+    index.compact(spark.createDataset(Seq(99999999L)), m0)
+    assert(m0.rewritten == 0, "no-dead compaction must decode zero blocks")
+    assert(m0.passthrough == total)
+    // localized tombstones -> only [firstDocId,lastDocId]-intersecting
+    // blocks are decoded; everything else passes through
+    val dead = Seq(3L, 4L, 5L)
+    val m1 = new InvertedIndex.CompactMetrics
+    val compacted = index.compact(spark.createDataset(dead), m1)
+    val intersecting = index.blocks
+      .filter($"firstDocId" <= 5L && $"lastDocId" >= 3L).count()
+    assert(m1.rewritten > 0 && m1.rewritten <= intersecting,
+      s"rewritten=${m1.rewritten} intersecting=$intersecting")
+    assert(m1.passthrough + m1.rewritten == total)
+    assert(compacted.search("t0 t1", 10).as[(Long, Double)].collect()
+      .forall(h => !dead.contains(h._1)))
+  }
+
   test("resumable build ≡ one-shot build (kill after 2 chunks, resume)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
@@ -197,6 +219,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = prep.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
     val t0 = index.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
     assert(t == t0)
+  }
+
+  test("HotIndex serving path rank- and score-identical to DataFrame search") {
+    val hot = HotIndex(index)
+    (queryStrings :+ "").foreach { q =>
+      val got = hot.search(q, 10).map(sd => (sd.docId, sd.score)).toSeq
+      assert(got == engineTopK(q, 10), s"HotIndex mismatch for '$q'")
+    }
+    assert(hot.search("t0", 0).isEmpty)
+    hot.close()
   }
 
   test("empty and degenerate queries") {

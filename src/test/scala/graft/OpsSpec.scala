@@ -89,6 +89,80 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames(0).head.toSeq == Seq('h'.toByte))
   }
 
+  test("bucketed embed near-dup == brute force; separated clusters prune pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 6 well-separated direction clusters + planted near-dups inside them
+    val emb = (0L until 300L).map { i =>
+      val c = (i % 6).toInt
+      val v = Array.tabulate(12)(d => (if (d == 2 * c) 10f else 0f) + rnd.nextFloat() * 0.4f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val threshold = 0.9
+    val want = Dedup.embedCosinePairsBrute(emb, "vec_id", "embedding", threshold)
+      .select($"a", $"b", round($"sim" * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val m = new Dedup.EmbedMetrics
+    val got = Dedup.embedCosinePairs(emb, "vec_id", "embedding", threshold,
+      kCenters = 6, iters = 3, metrics = m)
+      .select($"a", $"b", round($"sim" * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "bucketed must be value-identical to all-pairs")
+    assert(want.nonEmpty, "test corpus should contain qualifying pairs")
+    // triangle-inequality pruning engaged: far fewer than k² cluster pairs
+    assert(m.clusterPairs < m.clusters * m.clusters,
+      s"no pruning: ${m.clusterPairs} of ${m.clusters * m.clusters} cluster pairs joined")
+  }
+
+  test("jaccard df-cap: planted corpus-wide hot shingle does not explode the join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    // every doc shares the same boilerplate prefix (a hot shingle factory);
+    // real near-dups additionally share rare content
+    val boiler = "common preamble shared by every single document here"
+    val docs = (0L until 120L).map(i => (i, boiler + " " + randText(rnd, 60)))
+    val dups = docs.take(15).map { case (i, t) => (i + 1000, t + " x1") }
+    val all = (docs ++ dups).toDF("doc_id", "text")
+    val sh = Dedup.shingles(all, "doc_id", "text").persist()
+    val capped = Dedup.jaccardPairs(sh, 0.7, dfCap = 30)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.jaccardPairs(sh, 0.7, dfCap = 0)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, "cap must not change results here")
+    assert(docs.take(15).map { case (i, _) => (i, i + 1000) }.toSet.subsetOf(capped))
+    // the hot boilerplate shingles are excluded from the candidate join
+    val total = sh.count()
+    val rare = Dedup.rareShingles(sh, 30).count()
+    assert(rare < total, s"rare=$rare should exclude the shared-boilerplate shingles")
+  }
+
+  test("LSH banding recall across the threshold (16 bands x 4 rows)") {
+    // property sweep at the Analyze kernel level: sets with exact Jaccard j
+    // must collide in >= 1 band with recall 1.0 for j >= 0.85 (many trials)
+    val params = graft.core.Analyze.minHashParams(64)
+    val rnd = new scala.util.Random(44)
+    def bandedCollide(sa: Set[Long], sb: Set[Long]): Boolean = {
+      val ha = graft.core.Analyze.minHash(sa, params)
+      val hb = graft.core.Analyze.minHash(sb, params)
+      (0 until 16).exists(bd => (0 until 4).forall(r => ha(bd * 4 + r) == hb(bd * 4 + r)))
+    }
+    def mkPair(n: Int, j: Double): (Set[Long], Set[Long]) = {
+      // |A|=|B|=n sharing m elements: J = m / (2n - m)  =>  m = 2nj/(1+j)
+      val m = math.round(2 * n * j / (1 + j)).toInt
+      val shared = Set.fill(m)(rnd.nextLong().abs % (1L << 28))
+      val onlyA = Set.fill(n - shared.size)(rnd.nextLong().abs % (1L << 28))
+      val onlyB = Set.fill(n - shared.size)(rnd.nextLong().abs % (1L << 28))
+      (shared ++ onlyA, shared ++ onlyB)
+    }
+    Seq(0.85, 0.9, 0.95).foreach { j =>
+      val hits = (0 until 60).count { _ => val (a, b) = mkPair(300, j); bandedCollide(a, b) }
+      assert(hits == 60, s"recall at j=$j was $hits/60, want 60/60")
+    }
+    // and far below the threshold the banding is selective (not everything collides)
+    val low = (0 until 60).count { _ => val (a, b) = mkPair(300, 0.3); bandedCollide(a, b) }
+    assert(low < 15, s"j=0.3 collided $low/60 — banding not selective")
+  }
+
   test("exact dedup groups") {
     import spark.implicits._
     val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("doc_id", "text")

@@ -96,6 +96,36 @@ class WandSpec extends AnyFunSuite with TimeLimits {
     assert(got.map(_.docId) == want.map(_.docId))
   }
 
+  test("threshold skips blocks that cannot reach tau (block-max pruning)") {
+    // one frequent term, 2000 docs: most postings are weak (tf=1, long doc),
+    // a few planted strong ones (tf=9, short doc). τ sits between the weak
+    // and strong block maxes, so only blocks containing a planted posting
+    // (plus boundary neighbors) should ever decode.
+    val n = 2000L
+    val strong = Set(37L, 555L, 1203L, 1800L)
+    val ps = (0L until n).map { d =>
+      if (strong(d)) (d, 9, 8) else (d, 1, 120)
+    }
+    val avgdl = ps.map(_._3).sum.toDouble / n
+    val idf = Text.idf(n, n) // df = n (term in every doc)
+    val blocks = ps.grouped(4).map { g =>
+      IndexBuilder.encodeBlock("t", 0, g.map(_._1).toArray, g.map(_._2).toArray,
+        g.map(_._3).toArray)
+    }.toArray
+    val ub = idf * blocks.map(b => Text.tfPartial(b.maxTf, b.minDl.toLong, avgdl)).max
+    val weakMax = idf * Text.tfPartial(1, 120L, avgdl)
+    val strongScore = idf * Text.tfPartial(9, 8L, avgdl)
+    val tau = (weakMax + strongScore) / 2
+    assert(weakMax < tau && tau < strongScore)
+    val stats = new Wand.SearchStats
+    val got = Wand.threshold(Seq((idf, ub, blocks)), tau, avgdl, stats = stats).toSeq
+    assert(got.map(_.docId).sorted == strong.toSeq.sorted)
+    assert(stats.totalBlocks == blocks.length.toLong)
+    // 4 planted postings -> at most a handful of decoded blocks out of 500
+    assert(stats.decodedBlocks <= strong.size + 2,
+      s"decoded ${stats.decodedBlocks} of ${stats.totalBlocks}")
+  }
+
   test("wand decodes fewer blocks than exist when k is small (skipping works)") {
     val rnd = new Random(7)
     // one strong rare term + one weak common term
