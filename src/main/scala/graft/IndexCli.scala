@@ -93,6 +93,25 @@ object IndexCli {
         println(s"compacted: ${ix.stats.numDocs} -> ${compacted.stats.numDocs} docs at ${args(2)}")
         spark.stop()
 
+      case "snapshots" =>
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val cur = SegmentCatalog.currentVersion(spark, args(1)).getOrElse(-1L)
+        SegmentCatalog.listSnapshots(spark, args(1)).foreach { s =>
+          val mark = if (s.version == cur) "*" else " "
+          println(f"$mark v${s.version}%-3d ${s.op}%-8s docs=${s.stats.numDocs}%-10d " +
+            f"blocks=${s.blockChunks.size} chunks dict=v${s.dictVersion} ts=${s.tsMs}")
+        }
+        spark.stop()
+
+      case "expire" =>
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val keep = if (args.length > 2) args(2).toInt else 1
+        SegmentCatalog.expireSnapshots(spark, args(1), keep)
+        println(s"retained ${SegmentCatalog.listSnapshots(spark, args(1)).size} snapshot(s)")
+        spark.stop()
+
       case "stats" =>
         val spark = session(cpus)
         spark.sparkContext.setLogLevel("WARN")
@@ -154,7 +173,9 @@ object IndexCli {
       |  build <parquetPath|synth:N> <indexDir> [numChunks]
       |  query <indexDir> <k> <term> [term...]
       |  serve <indexDir> [k]            (interactive: one query per line)
-      |  compact <indexDir> <outDir> <docId,docId,...>
+      |  compact <indexDir> <outDir> <docId,docId,...>   (outDir == indexDir: snapshot swap)
       |  stats <indexDir>
+      |  snapshots <indexDir>
+      |  expire <indexDir> [keepLast]
       |  explain <indexDir> <term> [term...]""".stripMargin)
 }

@@ -35,8 +35,6 @@ import graft.core.{Codec, Text}
   */
 object IndexBuilder {
 
-  val FormatVersion = 1L
-
   final case class Options(
       numShards: Int = 32,
       rangePartitions: Int = 32,

@@ -269,17 +269,24 @@ final case class InvertedIndex(
       IndexStats(nd, totTok, newAvg, stats.numShards))
   }
 
-  /** Persist the index as a segment set + manifest dir (jvector
-    * OnDiskGraphIndexWriter analog; format versioned from day one,
-    * Header.java:55-67). Blocks partitioned by term-hash bucket so query
-    * scans prune files by bucket + parquet min/max on term. */
+  /** Persist the index as a new snapshot of the segment catalog at `dir`
+    * (jvector OnDiskGraphIndexWriter analog; format versioned from day
+    * one, Header.java:55-67). On a fresh dir this commits v1; on an
+    * existing catalog it commits a full-rewrite snapshot (the previous
+    * version stays readable until [[SegmentCatalog.expireSnapshots]]) —
+    * which is exactly how a compacted index replaces its source in place:
+    * `ix.compact(dead).save(dir)` is a snapshot swap, not a dir mutation. */
   def save(dir: String): Unit = {
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/blocks")
-    docs.write.mode("overwrite").parquet(s"$dir/docs")
-    dict.write.mode("overwrite").parquet(s"$dir/dict")
-    Seq(stats).toDS().write.mode("overwrite").json(s"$dir/stats")
-    Seq(("graft-index", IndexBuilder.FormatVersion)).toDF("magic", "version")
-      .write.mode("overwrite").json(s"$dir/format")
+    val v = SegmentCatalog.currentVersion(spark, dir).getOrElse(0L) + 1
+    val cid = s"w$v" // writer-owned chunk id: never collides across versions
+    SegmentCatalog.writeBlocksChunk(blocks, dir, cid)
+    SegmentCatalog.writeDocsChunk(docs, dir, cid)
+    SegmentCatalog.writeDict(dict, dir, v)
+    SegmentCatalog.commit(spark, dir, SegmentCatalog.Snapshot(
+      version = v, parent = v - 1, op = if (v == 1) "save" else "rewrite",
+      tsMs = System.currentTimeMillis(), formatVersion = SegmentCatalog.FormatVersion,
+      blockChunks = Seq(cid), docChunks = Seq(cid), dictVersion = v,
+      stats = stats, maxStreamBatch = -1L))
   }
 }
 
@@ -294,22 +301,11 @@ object InvertedIndex {
     * through without decoding them. */
   final class CompactMetrics { var passthrough = 0L; var rewritten = 0L }
 
-  def load(spark: SparkSession, dir: String): InvertedIndex = {
-    import spark.implicits._
-    val fmt = spark.read.json(s"$dir/format").select("version").as[Long].head()
-    require(fmt <= IndexBuilder.FormatVersion, s"unsupported index format v$fmt")
-    val stats = spark.read.json(s"$dir/stats")
-      .selectExpr("cast(numDocs as long) numDocs", "cast(totalTokens as long) totalTokens",
-        "cast(avgdl as double) avgdl", "cast(numShards as int) numShards")
-      .as[IndexStats].head()
-    InvertedIndex(spark,
-      spark.read.parquet(s"$dir/docs").as[DocMeta],
-      spark.read.parquet(s"$dir/blocks").select(
-        "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-        "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl", "tfSum").as[Block],
-      spark.read.parquet(s"$dir/dict").as[DictEntry],
-      stats)
-  }
+  /** Load a catalog snapshot (default: current; pass `version` for time
+    * travel to any unexpired snapshot). */
+  def load(spark: SparkSession, dir: String,
+           version: Option[Long] = None): InvertedIndex =
+    SegmentCatalog.load(spark, dir, version)
 }
 
 /** Executor-side glue between Dataset groups and the WAND kernel. */

@@ -86,15 +86,18 @@ object ResumableBuild {
     // doc metadata pass (docLen via the allocation-free token counter);
     // runs CONCURRENTLY with the chunk jobs below — stats are derived
     // from the written table at finalize, nothing downstream of the
-    // chunks needs them
+    // chunks needs them. One docs chunk dir per build ("b0"), published
+    // by the final snapshot commit.
+    val docsChunkId = "b0"
     def writeDocs(): Unit = phase("docs-write") {
-      sorted.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var i = offB.value(pid)
-        it.map { case (url, text, lang) =>
-          val d = DocMeta(i, shardOf(i), url, Text.countTokens(text), lang); i += 1; d
-        }
-      }.write.mode("overwrite").parquet(s"$dir/docs")
+      SegmentCatalog.writeDocsChunk(
+        sorted.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var i = offB.value(pid)
+          it.map { case (url, text, lang) =>
+            val d = DocMeta(i, shardOf(i), url, Text.countTokens(text), lang); i += 1; d
+          }
+        }, dir, docsChunkId)
     }
 
     // chunk c = a group of whole shards (contiguous docId range). Chunks
@@ -117,7 +120,7 @@ object ResumableBuild {
         Some(java.util.concurrent.Executors.newFixedThreadPool(parallelChunks))
       else None
     def runChunk(c: Int): Unit = {
-      val segDir = new Path(s"$dir/blocks/chunk=$c")
+      val segDir = new Path(SegmentCatalog.blocksChunkPath(dir, c.toString))
       val maniPath = new Path(s"$dir/manifest/chunk-$c.json")
       val committed = fs.exists(maniPath) && fs.exists(new Path(segDir, "_SUCCESS"))
       val (dLo, dHi) = chunkDocRange(c)
@@ -135,11 +138,7 @@ object ResumableBuild {
         val blocks = IndexBuilder.spimiBlocks(sorted, offB, numDocs, nShards,
           (dLo, dHi), opts)
         phase(s"chunk$c-write") {
-          // no parquet dictionary pages: the compressed payload columns
-          // are high-entropy, the encoder always falls back (wasted CPU)
-          blocks.write.mode("overwrite")
-            .option("parquet.enable.dictionary", "false")
-            .parquet(segDir.toString) }
+          SegmentCatalog.writeBlocksChunk(blocks, dir, c.toString) }
         val written = spark.read.parquet(segDir.toString)
         val (nBlocks, nPostings) = phase(s"chunk$c-stats") {
           written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
@@ -176,36 +175,37 @@ object ResumableBuild {
           }
         }
     }
-    // stats from the written doc table (one tiny agg) + the docs handle
-    val docs = spark.read.parquet(s"$dir/docs").as[DocMeta]
+    // stats from the written doc table (one tiny agg)
+    val docs = SegmentCatalog.readDocChunks(spark, dir, Seq(docsChunkId))
     val totTok = if (numDocs == 0) 0L
       else docs.agg(coalesce(sum($"docLen"), lit(0L))).as[Long].head()
     val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
     val stats = IndexStats(numDocs, totTok, avgdl, nShards)
-    Seq(stats).toDS().write.mode("overwrite").json(s"$dir/stats")
 
-    // finalize: merge per-chunk dictionary partials + format stamp
+    // finalize: merge per-chunk dictionary partials, then publish
+    // EVERYTHING (chunks + dict + stats) as one atomic snapshot commit —
+    // readers never see a build mid-flight
+    val version = SegmentCatalog.currentVersion(spark, dir).getOrElse(0L) + 1
     val dict = phase("dict-write") {
       val partial = spark.read.parquet(s"$dir/dictparts")
       val merged = partial.groupBy($"term").agg(
         sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("int").as("maxTf"), min($"minDl").cast("int").as("minDl"))
         .as[DictEntry]
-      merged.write.mode("overwrite").parquet(s"$dir/dict")
-      spark.read.parquet(s"$dir/dict").as[DictEntry]
+      SegmentCatalog.writeDict(merged, dir, version)
+      SegmentCatalog.readDictVersion(spark, dir, version)
     }
-    Seq(("graft-index", IndexBuilder.FormatVersion)).toDF("magic", "version")
-      .write.mode("overwrite").json(s"$dir/format")
+    val snap = SegmentCatalog.commit(spark, dir, SegmentCatalog.Snapshot(
+      version = version, parent = version - 1, op = "build",
+      tsMs = System.currentTimeMillis(), formatVersion = SegmentCatalog.FormatVersion,
+      blockChunks = chunks.map(_.toString), docChunks = Seq(docsChunkId),
+      dictVersion = version, stats = stats, maxStreamBatch = -1L))
     if (!assumeSorted) sorted.unpersist()
-    InvertedIndex(spark, docs, readBlocks(spark, dir), dict, stats)
+    InvertedIndex(spark, docs, SegmentCatalog.readBlocks(spark, dir, snap), dict, stats)
   }
 
-  def readBlocks(spark: SparkSession, dir: String): Dataset[Block] = {
-    import spark.implicits._
-    spark.read.parquet(s"$dir/blocks").select(
-      "term", "bucket", "shard", "firstDocId", "lastDocId", "n",
-      "docBytes", "tfBytes", "dlBytes", "maxTf", "minDl", "tfSum").as[Block]
-  }
+  def readBlocks(spark: SparkSession, dir: String): Dataset[Block] =
+    SegmentCatalog.readBlocks(spark, dir, SegmentCatalog.current(spark, dir))
 
   def readManifest(spark: SparkSession, dir: String): Seq[ManifestRow] = {
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)

@@ -14,20 +14,28 @@ import graft.index._
   * re-expressed as the idiomatic Spark pattern from SURVEY.md §2.1 B2:
   * `writeStream.foreachBatch` appends micro-segments; `refresh` is the
   * OPTIMIZE step that recomputes dictionary + stats; full compaction
-  * (InvertedIndex.compact / a rebuild) merges micro-segments away.
+  * (InvertedIndex.compact + save / a rebuild) merges micro-segments away.
   *
-  * Each micro-batch becomes its own shard id (opts.numShards + batchId),
-  * so its (term, shard) posting runs are self-contained and globally
-  * valid next to the bulk segments — no rewrite of existing data, exactly
-  * like jvector's out-of-order inline node writes. Because block-max
-  * metadata is integer (maxTf, minDl), the avgdl drift caused by appends
-  * never invalidates stored segments (see Model.Block).
-  */
+  * Each micro-batch becomes its own shard id (numShards + batchId), so its
+  * (term, shard) posting runs are self-contained and globally valid next
+  * to the bulk segments — no rewrite of existing data, exactly like
+  * jvector's out-of-order inline node writes. Because block-max metadata
+  * is integer (maxTf, minDl), the avgdl drift caused by appends never
+  * invalidates stored segments (see Model.Block).
+  *
+  * Exactly-once: every per-batch write is an idempotent overwrite of a
+  * batch-owned chunk dir (`chunk=s<batchId>`), docIds derive from the
+  * PARENT SNAPSHOT's numDocs (not from mutable files), and the single
+  * commit point is the catalog snapshot naming the new chunks + the new
+  * stats + the batch high-water mark. A crash anywhere before the commit
+  * leaves the table at its previous snapshot; the replayed batch recomputes
+  * the identical chunk, overwrites it, and commits once (round-1 ADVICE #1:
+  * no duplicate DocMeta rows, no double-counted stats, ever). */
 object StreamingIndex {
 
   /** Start ingesting a streaming DataFrame of pages (url, text, lang)
     * into the index at `dir`. Exactly-once per batch via the streaming
-    * checkpoint + idempotent chunk dirs. */
+    * checkpoint + snapshot-committed idempotent chunks. */
   def start(pages: DataFrame, dir: String, checkpoint: String,
             opts: IndexBuilder.Options = IndexBuilder.Options()): StreamingQuery =
     pages.writeStream
@@ -37,25 +45,23 @@ object StreamingIndex {
       }
       .start()
 
-  /** Append one micro-batch as a micro-segment chunk. Idempotent: if the
-    * chunk dir already committed (replayed batch after restart), skip. */
+  /** Append one micro-batch as a micro-segment chunk and commit it as a
+    * new catalog snapshot.
+    * @param failBeforeCommit test hook: do every write, then crash just
+    *   before the snapshot commit (the replay-safety injection point). */
   def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
-                  opts: IndexBuilder.Options, batchId: Long): Unit = {
+                  opts: IndexBuilder.Options, batchId: Long,
+                  failBeforeCommit: Boolean = false): Unit = {
     import spark.implicits._
     if (batch.isEmpty) return
+    val snap = SegmentCatalog.current(spark, dir)
+    if (batchId <= snap.maxStreamBatch) return // committed replay: skip
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val chunkId = 100000 + batchId.toInt // micro-segment chunk namespace
-    val segDir = new Path(s"$dir/blocks/chunk=$chunkId")
-    val maniPath = new Path(s"$dir/manifest/chunk-$chunkId.json")
-    if (fs.exists(maniPath) && fs.exists(new Path(segDir, "_SUCCESS"))) return
+    val cid = s"s$batchId"
 
     val t0 = System.nanoTime()
-    val prev = spark.read.json(s"$dir/stats")
-      .selectExpr("cast(numDocs as long)", "cast(totalTokens as long)",
-        "cast(avgdl as double)", "cast(numShards as int)")
-      .as[(Long, Long, Double, Int)].head()
-    val (baseDocs, baseTokens, _, baseShards) = prev
-    val shard = baseShards + batchId.toInt // one shard per micro-batch
+    val baseDocs = snap.stats.numDocs
+    val shard = snap.stats.numShards + batchId.toInt // one shard per micro-batch
 
     val in = IndexBuilder.normalize(spark, batch).as[(String, String, String)]
     val parts = math.max(1, math.min(opts.rangePartitions, 8))
@@ -75,7 +81,7 @@ object StreamingIndex {
       }
     }.persist()
     val batchTokens = docs.agg(sum($"docLen")).as[Long].head()
-    docs.write.mode("append").parquet(s"$dir/docs")
+    SegmentCatalog.writeDocsChunk(docs, dir, cid)
 
     val postings = sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
@@ -89,44 +95,58 @@ object StreamingIndex {
     val blocks = IndexBuilder.encodeBlocks(spark, postings, opts).persist()
     val (nBlocks, nPostings) = blocks.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
       .as[(Long, Long)].head()
-    blocks.write.mode("overwrite").parquet(segDir.toString)
+    SegmentCatalog.writeBlocksChunk(blocks, dir, cid)
     blocks.unpersist()
 
     val batchDocs = offsets(parts)
     docs.unpersist()
+    sorted.unpersist()
     val newDocs = baseDocs + batchDocs
-    val newTokens = baseTokens + batchTokens
-    Seq(IndexStats(newDocs, newTokens,
-      if (newDocs == 0) 0.0 else newTokens.toDouble / newDocs, baseShards))
-      .toDS().write.mode("overwrite").json(s"$dir/stats")
+    val newTokens = snap.stats.totalTokens + batchTokens
+    val newStats = IndexStats(newDocs, newTokens,
+      if (newDocs == 0) 0.0 else newTokens.toDouble / newDocs, snap.stats.numShards)
 
+    // lineage/metrics row (bookkeeping, not the commit point)
+    val segDir = new Path(SegmentCatalog.blocksChunkPath(dir, cid))
     val ms = (System.nanoTime() - t0) / 1000000
     val json =
-      s"""{"chunk":$chunkId,"status":"done","docs":$batchDocs,"postings":$nPostings,""" +
-      s""""blocks":$nBlocks,"bytes":${fs.getContentSummary(segDir).getLength},""" +
+      s"""{"chunk":${100000 + batchId},"status":"done","docs":$batchDocs,""" +
+      s""""postings":$nPostings,"blocks":$nBlocks,""" +
+      s""""bytes":${fs.getContentSummary(segDir).getLength},""" +
       s""""elapsedMs":$ms,"docsPerSec":${if (ms == 0) 0.0 else batchDocs * 1000.0 / ms}}"""
+    val maniPath = new Path(s"$dir/manifest/chunk-s$batchId.json")
     val tmp = new Path(maniPath.getParent, maniPath.getName + ".tmp")
     val out = fs.create(tmp, true)
     out.write(json.getBytes("UTF-8")); out.close()
     fs.rename(tmp, maniPath)
-    sorted.unpersist()
-    // invalidate the session's cached file listing of the PARTITIONED
-    // roots: the new chunk=/docs files are invisible to readers that
-    // listed these dirs before this batch (Spark only auto-refreshes the
-    // exact path it wrote, not the partitioned parent)
-    spark.catalog.refreshByPath(s"$dir/blocks")
-    spark.catalog.refreshByPath(s"$dir/docs")
-    spark.catalog.refreshByPath(s"$dir/stats")
+
+    if (failBeforeCommit)
+      throw new RuntimeException(s"injected crash before commit of batch $batchId")
+
+    // THE commit: chunks + stats + high-water mark become visible atomically
+    SegmentCatalog.commit(spark, dir, snap.copy(
+      version = snap.version + 1, parent = snap.version, op = "append",
+      tsMs = System.currentTimeMillis(),
+      blockChunks = snap.blockChunks :+ cid,
+      docChunks = snap.docChunks :+ cid,
+      stats = newStats, maxStreamBatch = batchId))
+    // invalidate this session's cached listings of the (reused) table roots
+    Seq("blocks", "docs").foreach(p => spark.catalog.refreshByPath(s"$dir/$p"))
   }
 
-  /** OPTIMIZE: recompute dictionary from the union of bulk + micro
-    * segments (df/cf/bounds must reflect appended docs before querying). */
+  /** OPTIMIZE: recompute the dictionary over the current snapshot's bulk +
+    * micro segments (df/cf/bounds must reflect appended docs before
+    * querying) and commit it as a new snapshot. */
   def refresh(spark: SparkSession, dir: String): InvertedIndex = {
-    Seq("blocks", "docs", "stats", "dict").foreach(p =>
-      spark.catalog.refreshByPath(s"$dir/$p"))
-    val blocks = ResumableBuild.readBlocks(spark, dir)
+    Seq("blocks", "docs", "dict").foreach(p => spark.catalog.refreshByPath(s"$dir/$p"))
+    val snap = SegmentCatalog.current(spark, dir)
+    val blocks = SegmentCatalog.readBlocks(spark, dir, snap)
     val dict = IndexBuilder.dictFromBlocks(spark, blocks)
-    dict.write.mode("overwrite").parquet(s"$dir/dict")
+    val v = snap.version + 1
+    SegmentCatalog.writeDict(dict, dir, v)
+    SegmentCatalog.commit(spark, dir, snap.copy(
+      version = v, parent = snap.version, op = "refresh",
+      tsMs = System.currentTimeMillis(), dictVersion = v))
     InvertedIndex.load(spark, dir)
   }
 }

@@ -221,6 +221,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t == t0)
   }
 
+  test("catalog: compaction is a snapshot swap; time travel; expire") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    index.save(dir) // v1
+    val v1 = InvertedIndex.load(spark, dir)
+    val q = "t0 t1"
+    val before = v1.search(q, 10).as[(Long, Double)].collect().toSeq
+    val dead = before.take(2).map(_._1)
+    // in-place compaction = snapshot swap (v2), old version untouched
+    v1.compact(spark.createDataset(dead)).save(dir)
+    assert(SegmentCatalog.currentVersion(spark, dir).contains(2L))
+    val v2 = InvertedIndex.load(spark, dir)
+    assert(v2.search(q, 10).as[(Long, Double)].collect()
+      .forall(h => !dead.contains(h._1)))
+    // time travel: snapshot 1 still serves the pre-compaction results
+    val tt = InvertedIndex.load(spark, dir, version = Some(1L))
+    assert(tt.search(q, 10).as[(Long, Double)].collect().toSeq == before)
+    assert(SegmentCatalog.listSnapshots(spark, dir).map(_.op) == Seq("save", "rewrite"))
+    // expire: v1's chunks are deleted, current still loads + searches
+    SegmentCatalog.expireSnapshots(spark, dir, keepLast = 1)
+    assert(SegmentCatalog.listSnapshots(spark, dir).map(_.version) == Seq(2L))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      SegmentCatalog.blocksChunkPath(dir, "w1"))))
+    spark.catalog.refreshByPath(s"$dir/blocks")
+    assert(InvertedIndex.load(spark, dir).search(q, 5).count() == 5)
+  }
+
   test("HotIndex serving path rank- and score-identical to DataFrame search") {
     val hot = HotIndex(index)
     (queryStrings :+ "").foreach { q =>

@@ -71,6 +71,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ix2.stats.numDocs == 400)
   }
 
+  test("append crash before snapshot commit: replay is exactly-once (no dup docs, no double-counted stats)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val opts = IndexBuilder.Options(numShards = 4, rangePartitions = 4)
+    val all = (0L until 260L).map(i => WebCorpus.page(13L, i))
+    def toDf(ps: Seq[WebCorpus.Page]) =
+      ps.map(p => (p.url, p.text, p.lang)).toDF("url", "text", "lang")
+    ResumableBuild.build(spark, toDf(all.take(200)), dir, opts, numChunks = 2)
+    val base = SegmentCatalog.current(spark, dir)
+    assert(base.stats.numDocs == 200)
+    // crash AFTER all writes, BEFORE the snapshot commit
+    intercept[RuntimeException] {
+      StreamingIndex.appendBatch(spark, toDf(all.drop(200)), dir, opts, 0L,
+        failBeforeCommit = true)
+    }
+    // table is untouched: still the parent snapshot, stats un-bumped
+    val after = SegmentCatalog.current(spark, dir)
+    assert(after.version == base.version && after.stats == base.stats)
+    // replay commits exactly once
+    StreamingIndex.appendBatch(spark, toDf(all.drop(200)), dir, opts, 0L)
+    val ix = StreamingIndex.refresh(spark, dir)
+    assert(ix.stats.numDocs == 260)
+    assert(ix.docs.count() == 260) // no duplicate DocMeta rows
+    assert(ix.docs.select($"docId").distinct().count() == 260)
+    assert(ix.stats.totalTokens ==
+      ix.docs.agg(sum($"docLen")).as[Long].head()) // stats not double-counted
+    // and a second replay of the committed batch is a no-op
+    StreamingIndex.appendBatch(spark, toDf(all.drop(200)), dir, opts, 0L)
+    assert(SegmentCatalog.current(spark, dir).stats.numDocs == 260)
+  }
+
   test("streaming hourly window agg == batch equivalent") {
     import spark.implicits._
     val events = (0 until 500).map { i =>
