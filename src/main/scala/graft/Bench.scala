@@ -91,12 +91,23 @@ object Bench {
       }
       name -> t
     }
-    // warm query latency: median of 7 searches on the built index
+    // warm query latency, both access paths:
+    //  - serving path (HotIndex: cached per-partition term maps + runJob,
+    //    no per-query planning) — the number a long-lived service sees;
+    //  - DataFrame path (per-query Catalyst plan over the prepared cache)
+    //    — the number a batch job sees per ad-hoc query.
     val ix = Gate.index(spark, sfDir)
-    val lat = (0 until 7).map(i => timeS {
+    val hot = graft.index.HotIndex(ix)
+    hot.search(Gate.Queries.head._2, 10) // warmup: JIT + cache touch
+    val latHot = (0 until 9).map(i => timeS {
+      hot.search(Gate.Queries(i % Gate.Queries.size)._2, 10)
+    }).sorted
+    val warmMs = latHot(latHot.size / 2) * 1000
+    val latDf = (0 until 7).map(i => timeS {
       ix.search(Gate.Queries(i % Gate.Queries.size)._2, 10).collect()
     }).sorted
-    val warmMs = lat(lat.size / 2) * 1000
+    val warmDfMs = latDf(latDf.size / 2) * 1000
+    hot.close()
 
     // ---- phase 2: materialize the bench corpus as a table at rest ----
     val shm = new java.io.File("/dev/shm")
@@ -116,9 +127,11 @@ object Bench {
       scala.reflect.io.Path(d).deleteRecursively()
       d
     }
-    // best-of-N: single-machine runs are bimodal (page cache / GC timing);
-    // min is the standard throughput estimator
-    val t2 = spawnBuild(2, corpusPath, dir("c2"), tmpBase)
+    // best-of-N, SYMMETRIC at every level (round-1 VERDICT #6: an
+    // asymmetric estimator biases the efficiency ratio): single-machine
+    // runs are bimodal (page cache / GC timing); min is the standard
+    // throughput estimator
+    val t2 = bestOf(3) { val d = dir("c2"); spawnBuild(2, corpusPath, d, tmpBase) }
     val t8 = bestOf(3) { val d = dir("c8"); spawnBuild(8, corpusPath, d, tmpBase) }
     val t32 = bestOf(3) { val d = dir("c32"); spawnBuild(32, corpusPath, d, tmpBase) }
     val thr = (t: Double) => scaleDocs / t
@@ -132,7 +145,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
-        + f""""warm_query_ms":$warmMs%.1f,"""
+        + f""""warm_query_ms":$warmMs%.1f,"warm_df_query_ms":$warmDfMs%.1f,"""
         + f""""build":{"docs":$scaleDocs,"pinned_jvm_per_level":true,"""
         + f""""throughput_docs_per_sec":{"local2":${thr(t2)}%.0f,"local8":${thr(t8)}%.0f,"local32":${thr(t32)}%.0f},"""
         + f""""scaling_efficiency":{"n2_to_n8":$eff28%.3f,"n8_to_n32":$eff832%.3f}}}""")

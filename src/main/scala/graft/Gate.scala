@@ -92,7 +92,9 @@ object Gate {
   def bm25Multi(spark: SparkSession, sfDir: String): DataFrame = {
     val ix = index(spark, sfDir)
     import spark.implicits._
-    val res = ix.searchAll(Queries, 10)
+    // the Dataset-of-queries driver (query-log scale path); searchAll
+    // (driver-side batch) is asserted equivalent in EngineSpec
+    val res = ix.searchMany(Queries.toDS(), 10)
     val withId = res.join(ix.docs.select($"docId", $"url"), "docId")
       .withColumn("doc_id", expr("cast(substring(url, 7) as long)"))
     val w = Window.partitionBy($"queryId").orderBy($"score".desc, $"doc_id".asc)

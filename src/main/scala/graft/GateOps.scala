@@ -172,14 +172,24 @@ object GateOps {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** EXCEPT + INTERSECT cardinalities in ONE pass: p_partkey is unique in
+    * part, so both set ops reduce to a left join against the distinct
+    * probe side + a conditional count — two shuffles total instead of the
+    * four that separate except/intersect plans cost (round-1 VERDICT plan
+    * audit). Set-op SEMANTICS (incl. distinct) are what the oracle's
+    * EXCEPT/INTERSECT compute; `p.except(l)`/`p.intersect(l)` remain
+    * available as stock Spark operators. */
   def relSetops(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey"))
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey")).distinct()
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_partkey").as("p_partkey"))
-    val unreferenced = p.except(l).count()
-    val referenced = p.intersect(l).count()
-    import spark.implicits._
-    Seq((unreferenced, referenced)).toDF("n_unreferenced", "n_referenced")
+      .select(col("l_partkey").as("p_partkey")).distinct()
+      .withColumn("referenced", lit(1))
+    p.join(l, Seq("p_partkey"), "left_outer")
+      .agg(sum(when(col("referenced").isNull, 1).otherwise(0)).cast("long")
+        .as("n_unreferenced"),
+        sum(when(col("referenced").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_referenced"))
   }
 
   // ---------- event streams (batch equivalents; streaming in tests) ----------

@@ -121,7 +121,8 @@ object IndexCli {
           f"avgdl=${ix.stats.avgdl}%.2f shards=${ix.stats.numShards} " +
           s"terms=${ix.dict.count()} blocks=${ix.blocks.count()}")
         manifest.foreach(m => println(
-          s"  chunk ${m.chunk}: status=${m.status} docs=${m.docs} bytes=${m.bytes}"))
+          s"  chunk ${m.chunk}: status=${m.status} docs=${m.docs} bytes=${m.bytes} " +
+          s"metaBytes=${m.metaBytes}"))
         spark.stop()
 
       case "serve" =>

@@ -207,6 +207,75 @@ final case class InvertedIndex(
     local.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
   }
 
+  /** Page after a previous hit: exact top-k among docs ranking strictly
+    * after `(afterScore, afterDocId)` in (score desc, docId asc) order —
+    * true result-set pagination (jvector GraphSearcher.resume:223-311,
+    * stateless re-expression): page1 = search(q, k); page2 =
+    * searchAfter(q, k, page1.last). No k′ over-fetch: the WAND heap simply
+    * rejects hits at-or-before the cursor, and θ-pruning works off the
+    * post-cursor heap, so each page costs one normal top-k pass. */
+  def searchAfter(query: String, k: Int,
+                  afterScore: Double, afterDocId: Long): DataFrame = {
+    val plan = queryPlan(query)
+    if (plan.isEmpty || k <= 0) return emptyResult
+    val planB = spark.sparkContext.broadcast(plan)
+    val avgdl = stats.avgdl
+    val kk = k
+    val cursor = ScoredDoc(afterDocId, afterScore)
+    val cand = candidateBlocks(plan.keys.toSeq)
+    val local =
+      if (sharded)
+        cand.mapPartitions(it =>
+          Searcher.wandOnBlocks(it, planB.value, kk, avgdl, Wand.DocFilter.All, cursor))
+      else
+        cand.groupByKey(_.shard).flatMapGroups { (_, it) =>
+          Searcher.wandOnBlocks(it, planB.value, kk, avgdl, Wand.DocFilter.All, cursor)
+        }
+    local.toDF().orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Batch search over a DATASET of queries — the query-log-scale driver
+    * (SURVEY §2.6; [[searchAll]] is its driver-side sibling for small
+    * interactive batches). Fully distributed: queries tokenize executor-
+    * side, meet the dictionary in a term equi-join to form per-(query,
+    * term) plans, meet the blocks in a second term equi-join, and one WAND
+    * runs per (query, shard) group. Shuffle is O(Σ_q candidate blocks of
+    * q) — blocks never replicate to queries that don't contain their term,
+    * and no per-query driver work exists at all. Scores are computed with
+    * the same kernels as [[search]], so results are value-identical. */
+  def searchMany(queries: Dataset[(Int, String)], k: Int): DataFrame = {
+    val n = stats.numDocs
+    val avgdl = stats.avgdl
+    val kk = k
+    val qterms = queries.flatMap { case (qid, q) =>
+      Text.tokenize(q).distinct.map(t => (qid, t))
+    }.toDF("queryId", "qterm")
+    val qplan = qterms
+      .join(dict.toDF(), $"qterm" === $"term")
+      .select($"queryId", $"term", $"df", $"maxTf", $"minDl")
+      .as[(Int, String, Long, Int, Int)]
+      .map { case (qid, t, df, maxTf, minDl) =>
+        val idf = Text.idf(df, n)
+        (qid, t, idf, idf * Text.tfPartial(maxTf, minDl.toLong, avgdl))
+      }.toDF("queryId", "term", "idf", "ub")
+    val cand = blocks.joinWith(qplan.as[(Int, String, Double, Double)],
+      blocks("term") === qplan("term"))
+    cand.groupByKey { case (b, p) => (p._1, b.shard) }
+      .flatMapGroups { (key: (Int, Int),
+                        it: Iterator[(Block, (Int, String, Double, Double))]) =>
+        val qid = key._1
+        val rows = it.toArray
+        val plan = rows.map { case (_, (_, t, idf, ub)) => t -> (idf, ub) }.toMap
+        Searcher.wandOnBlocks(rows.iterator.map(_._1), plan, kk, avgdl,
+          Wand.DocFilter.All).map(sd => (qid, sd.docId, sd.score))
+      }
+      .toDF("queryId", "docId", "score")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"queryId").orderBy($"score".desc, $"docId".asc)))
+      .filter($"rank" <= k).drop("rank")
+  }
+
   /** Compaction (jvector cleanup()/removeDeletedNodes,
     * GraphIndexBuilder.java:437-531 — touches only affected nodes): rewrite
     * blocks dropping tombstoned docs, recompute dictionary + stats.
@@ -312,7 +381,8 @@ object InvertedIndex {
 object Searcher {
   /** Group this shard's candidate blocks by term and run BMW. */
   def wandOnBlocks(it: Iterator[Block], plan: Map[String, (Double, Double)],
-                   k: Int, avgdl: Double, filter: Wand.DocFilter): Iterator[ScoredDoc] = {
+                   k: Int, avgdl: Double, filter: Wand.DocFilter,
+                   after: ScoredDoc = null): Iterator[ScoredDoc] = {
     val byTerm = it.toArray.groupBy(_.term)
     if (byTerm.isEmpty) Iterator.empty
     else {
@@ -321,7 +391,7 @@ object Searcher {
         // blocks of terms this particular query does not contain
         plan.get(t).map { case (idf, ub) => (idf, ub, bs.sortBy(_.firstDocId)) }
       }
-      Wand.topK(termBlocks, k, avgdl, filter).iterator
+      Wand.topK(termBlocks, k, avgdl, filter, after = after).iterator
     }
   }
 

@@ -68,7 +68,8 @@ final case class ManifestRow(
     blocks: Long,
     bytes: Long,
     elapsedMs: Long,
-    docsPerSec: Double)
+    docsPerSec: Double,
+    metaBytes: Long = 0L) // varint size of block-max (maxTf, minDl) metadata
 
 object Model {
   /** Number of term-hash buckets used for persisted-segment pruning. */

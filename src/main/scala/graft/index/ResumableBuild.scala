@@ -140,9 +140,15 @@ object ResumableBuild {
         phase(s"chunk$c-write") {
           SegmentCatalog.writeBlocksChunk(blocks, dir, c.toString) }
         val written = spark.read.parquet(segDir.toString)
-        val (nBlocks, nPostings) = phase(s"chunk$c-stats") {
-          written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
-            .as[(Long, Long)].head() }
+        val vlen = udf((v: Int) => { // varint byte size of the bound value
+          var n = 1; var x = v >>> 7
+          while (x != 0) { n += 1; x >>>= 7 }
+          n.toLong
+        })
+        val (nBlocks, nPostings, metaBytes) = phase(s"chunk$c-stats") {
+          written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)),
+            coalesce(sum(vlen($"maxTf") + vlen($"minDl")), lit(0L)))
+            .as[(Long, Long, Long)].head() }
         written.groupBy($"term").agg(
             sum($"n").cast("long").as("df"),
             sum($"tfSum").cast("long").as("cf"),
@@ -153,7 +159,7 @@ object ResumableBuild {
         val chunkDocs = dHi - dLo
         val bytes = fs.getContentSummary(segDir).getLength
         val row = ManifestRow(c, "done", chunkDocs, nPostings, nBlocks, bytes, ms,
-          if (ms == 0) 0.0 else chunkDocs * 1000.0 / ms)
+          if (ms == 0) 0.0 else chunkDocs * 1000.0 / ms, metaBytes)
         writeManifest(fs, maniPath, row)
       }
     }
@@ -214,19 +220,25 @@ object ResumableBuild {
     import spark.implicits._
     val files = fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".json"))
     if (files.isEmpty) Seq.empty
-    else spark.read.json(files.toIndexedSeq: _*)
-      .selectExpr("cast(chunk as int) chunk", "status", "cast(docs as long) docs",
-        "cast(postings as long) postings", "cast(blocks as long) blocks",
-        "cast(bytes as long) bytes", "cast(elapsedMs as long) elapsedMs",
-        "cast(docsPerSec as double) docsPerSec")
-      .as[ManifestRow].collect().toSeq.sortBy(_.chunk)
+    else {
+      val raw = spark.read.json(files.toIndexedSeq: _*)
+      val withMeta = if (raw.columns.contains("metaBytes")) raw
+                     else raw.withColumn("metaBytes", lit(0L))
+      withMeta
+        .selectExpr("cast(chunk as int) chunk", "status", "cast(docs as long) docs",
+          "cast(postings as long) postings", "cast(blocks as long) blocks",
+          "cast(bytes as long) bytes", "cast(elapsedMs as long) elapsedMs",
+          "cast(docsPerSec as double) docsPerSec", "cast(metaBytes as long) metaBytes")
+        .as[ManifestRow].collect().toSeq.sortBy(_.chunk)
+    }
   }
 
   private def writeManifest(fs: FileSystem, path: Path, row: ManifestRow): Unit = {
     val json =
       s"""{"chunk":${row.chunk},"status":"${row.status}","docs":${row.docs},""" +
       s""""postings":${row.postings},"blocks":${row.blocks},"bytes":${row.bytes},""" +
-      s""""elapsedMs":${row.elapsedMs},"docsPerSec":${row.docsPerSec}}"""
+      s""""elapsedMs":${row.elapsedMs},"docsPerSec":${row.docsPerSec},""" +
+      s""""metaBytes":${row.metaBytes}}"""
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = fs.create(tmp, true)
     out.write(json.getBytes("UTF-8"))

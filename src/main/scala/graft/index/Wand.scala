@@ -106,9 +106,15 @@ object Wand {
     * @param termBlocks per query term: (idf, blocks sorted by firstDocId)
     * @return hits (score desc, docId asc), at most k
     */
+  /** @param after pagination cursor (jvector GraphSearcher.resume:223-311
+    *   analog, stateless): only docs ranking strictly AFTER (score desc,
+    *   docId asc) this hit enter the heap — searchAfter(page-N-last) is
+    *   exactly page N+1. Pruning stays exact: θ comes from the heap of
+    *   post-cursor hits only, so no qualifying doc is ever skipped. */
   def topK(termBlocks: Seq[(Double, Double, Array[Block])], k: Int,
            avgdl: Double, filter: DocFilter = DocFilter.All,
-           seedThreshold: Double = Double.NegativeInfinity): Array[ScoredDoc] = {
+           seedThreshold: Double = Double.NegativeInfinity,
+           after: ScoredDoc = null): Array[ScoredDoc] = {
     val cursors = termBlocks
       .map { case (idf, ub, bs) => new TermCursor(idf, ub, bs, avgdl) }
       .toArray
@@ -219,7 +225,9 @@ object Wand {
               }
               if (sys.props.get("wand.trace").isDefined)
                 println(s"SCORE doc=$pivotDoc s=$s theta=$theta")
-              heap.offer(s, pivotDoc)
+              if (after == null || s < after.score ||
+                  (s == after.score && pivotDoc > after.docId))
+                heap.offer(s, pivotDoc)
             }
             var j6 = 0
             while (j6 < order.length) {

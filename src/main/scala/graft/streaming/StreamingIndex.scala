@@ -93,8 +93,15 @@ object StreamingIndex {
       }
     }
     val blocks = IndexBuilder.encodeBlocks(spark, postings, opts).persist()
-    val (nBlocks, nPostings) = blocks.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)))
-      .as[(Long, Long)].head()
+    val vlen = udf((v: Int) => {
+      var n = 1; var x = v >>> 7
+      while (x != 0) { n += 1; x >>>= 7 }
+      n.toLong
+    })
+    val (nBlocks, nPostings, metaBytes) = blocks.agg(count(lit(1)),
+      coalesce(sum($"n"), lit(0L)),
+      coalesce(sum(vlen($"maxTf") + vlen($"minDl")), lit(0L)))
+      .as[(Long, Long, Long)].head()
     SegmentCatalog.writeBlocksChunk(blocks, dir, cid)
     blocks.unpersist()
 
@@ -113,7 +120,8 @@ object StreamingIndex {
       s"""{"chunk":${100000 + batchId},"status":"done","docs":$batchDocs,""" +
       s""""postings":$nPostings,"blocks":$nBlocks,""" +
       s""""bytes":${fs.getContentSummary(segDir).getLength},""" +
-      s""""elapsedMs":$ms,"docsPerSec":${if (ms == 0) 0.0 else batchDocs * 1000.0 / ms}}"""
+      s""""elapsedMs":$ms,"docsPerSec":${if (ms == 0) 0.0 else batchDocs * 1000.0 / ms},""" +
+      s""""metaBytes":$metaBytes}"""
     val maniPath = new Path(s"$dir/manifest/chunk-s$batchId.json")
     val tmp = new Path(maniPath.getParent, maniPath.getName + ".tmp")
     val out = fs.create(tmp, true)

@@ -86,6 +86,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("searchMany (Dataset query log) == per-query search") {
+    import spark.implicits._
+    val qs = queryStrings.zipWithIndex.map { case (q, i) => (i, q) }
+    val batch = index.searchMany(qs.toDS(), 10)
+      .select($"queryId", $"docId", $"score")
+      .as[(Int, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(t => (t._2, t._3))).toMap
+    qs.foreach { case (qid, q) =>
+      assert(batch.getOrElse(qid, Seq.empty) == engineTopK(q, 10),
+        s"searchMany mismatch '$q'")
+    }
+  }
+
+  test("searchAfter pagination: page1 ++ page2 == top-2k") {
+    import spark.implicits._
+    Seq("t0 t1", "t5 t100 t2000", "t7").foreach { q =>
+      val all = engineTopK(q, 20)
+      val page1 = engineTopK(q, 10)
+      if (page1.size == 10) {
+        val (lastD, lastS) = page1.last
+        val page2 = index.searchAfter(q, 10, lastS, lastD)
+          .select($"docId", $"score").as[(Long, Double)].collect().toSeq
+        assert(page1 ++ page2 == all, s"pagination mismatch for '$q'")
+      }
+    }
+    // cursor past the end -> empty page
+    assert(index.searchAfter("t0", 10, -1e9, Long.MaxValue).count() == 0)
+  }
+
   test("threshold query == filtered brute force") {
     import spark.implicits._
     val q = "t5 t100 t2000"
@@ -219,6 +248,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = prep.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
     val t0 = index.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
     assert(t == t0)
+  }
+
+  test("quantized bounds (C5 uint8 option): rank-identical, metadata collapses") {
+    import spark.implicits._
+    val qIx = IndexBuilder.build(spark, corpus,
+      IndexBuilder.Options(numShards = 8, rangePartitions = 8, quantizedBounds = true))
+    queryStrings.foreach { q =>
+      val got = qIx.search(q, 10).select($"docId", $"score")
+        .as[(Long, Double)].collect().toSeq
+      assert(got == engineTopK(q, 10), s"quantized-bound mismatch for '$q'")
+    }
+    val t = qIx.searchThreshold("t5 t100 t2000", 0.5).as[(Long, Double)].collect().toSet
+    assert(t == index.searchThreshold("t5 t100 t2000", 0.5)
+      .as[(Long, Double)].collect().toSet)
+    // every stored bound is a 4-significant-bit fixed point
+    val bad = qIx.blocks.filter(b =>
+      IndexBuilder.Quant.ceil4(b.maxTf) != b.maxTf ||
+      IndexBuilder.Quant.floor4(b.minDl) != b.minDl).count()
+    assert(bad == 0)
+    // distinct metadata codes collapse vs the exact index
+    val qDistinct = qIx.blocks.select($"maxTf", $"minDl").distinct().count()
+    val eDistinct = index.blocks.select($"maxTf", $"minDl").distinct().count()
+    assert(qDistinct < eDistinct, s"quantized=$qDistinct exact=$eDistinct")
   }
 
   test("catalog: compaction is a snapshot swap; time travel; expire") {

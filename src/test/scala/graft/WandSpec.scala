@@ -126,6 +126,22 @@ class WandSpec extends AnyFunSuite with TimeLimits {
       s"decoded ${stats.decodedBlocks} of ${stats.totalBlocks}")
   }
 
+  test("Quant: admissible 4-significant-bit rounding") {
+    val rnd = new Random(77)
+    (0 until 5000).foreach { _ =>
+      val v = 1 + rnd.nextInt(1 << 24)
+      val up = IndexBuilder.Quant.ceil4(v)
+      val dn = IndexBuilder.Quant.floor4(v)
+      assert(up >= v && dn <= v, s"v=$v up=$up dn=$dn")
+      assert(up <= v + v / 8, s"ceil4 too loose: $v -> $up") // <= 12.5% over
+      assert(dn >= v - v / 8 - 1, s"floor4 too loose: $v -> $dn")
+      // idempotent: quantized values are fixed points
+      assert(IndexBuilder.Quant.ceil4(up) == up && IndexBuilder.Quant.floor4(dn) == dn)
+    }
+    (1 to 16).foreach(v => assert(IndexBuilder.Quant.ceil4(v) == v &&
+      IndexBuilder.Quant.floor4(v) == v)) // small values exact
+  }
+
   test("wand decodes fewer blocks than exist when k is small (skipping works)") {
     val rnd = new Random(7)
     // one strong rare term + one weak common term
