@@ -130,10 +130,11 @@ object Bench {
     // best-of-N, SYMMETRIC at every level (round-1 VERDICT #6: an
     // asymmetric estimator biases the efficiency ratio): single-machine
     // runs are bimodal (page cache / GC timing); min is the standard
-    // throughput estimator
-    val t2 = bestOf(3) { val d = dir("c2"); spawnBuild(2, corpusPath, d, tmpBase) }
-    val t8 = bestOf(3) { val d = dir("c8"); spawnBuild(8, corpusPath, d, tmpBase) }
-    val t32 = bestOf(3) { val d = dir("c32"); spawnBuild(32, corpusPath, d, tmpBase) }
+    // throughput estimator, and 4 symmetric samples per level bring each
+    // min near its floor (phase-probe floor ratio 2→8 measured ≈0.89)
+    val t2 = bestOf(4) { val d = dir("c2"); spawnBuild(2, corpusPath, d, tmpBase) }
+    val t8 = bestOf(4) { val d = dir("c8"); spawnBuild(8, corpusPath, d, tmpBase) }
+    val t32 = bestOf(4) { val d = dir("c32"); spawnBuild(32, corpusPath, d, tmpBase) }
     val thr = (t: Double) => scaleDocs / t
     val eff28 = (thr(t8) / thr(t2)) / 4.0
     val eff832 = (thr(t32) / thr(t8)) / 4.0

@@ -17,6 +17,13 @@ object BenchBuildOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // v2 committer: task output moves to the destination at task commit,
+      // removing the serial per-file job-commit rename tail that the
+      // phase-timing probe showed pinning one core at 32-way parallelism.
+      // Safe here: chunk dirs are overwrite-mode and only become visible
+      // via the catalog snapshot commit, so a failed job's partials are
+      // cleared by the rerun's overwrite and never read.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val corpus = spark.read.parquet(corpusPath)

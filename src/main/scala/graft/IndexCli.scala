@@ -29,6 +29,8 @@ object IndexCli {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // see BenchBuildOne: v2 committer is safe under the snapshot catalog
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .getOrCreate()
 
   def main(args: Array[String]): Unit = {

@@ -43,8 +43,46 @@ object Text {
     count
   }
 
-  /** Per-doc term frequencies, with docLen = total token count. */
+  /** Per-doc term frequencies, with docLen = total token count.
+    *
+    * Hottest kernel of the build path (every byte of the corpus flows
+    * through it), so ASCII text takes a hand-rolled single-pass splitter:
+    * no regex engine, no lowercased copy of the whole text, no
+    * intermediate token array — one String allocation per token and one
+    * hash upsert. Semantics are byte-identical to `tokenize` (ASCII
+    * lowercase == Locale.ROOT lowercase for chars < 128; token = maximal
+    * [a-z0-9] run); any non-ASCII text falls back to the frozen tokenizer,
+    * and the equivalence is property-tested over random inputs. */
   def termFreqs(text: String): (Array[(String, Int)], Int) = {
+    var i = 0
+    val n = text.length
+    while (i < n && text.charAt(i) < 128) i += 1
+    if (i < n) return termFreqsSlow(text)
+    val m = new java.util.HashMap[String, Int]()
+    var buf = new Array[Char](32)
+    var bl = 0
+    var count = 0
+    i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      val alnum = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
+      if (alnum) {
+        if (bl == buf.length) buf = java.util.Arrays.copyOf(buf, bl * 2)
+        buf(bl) = lc
+        bl += 1
+      } else if (bl > 0) {
+        val tok = new String(buf, 0, bl)
+        m.put(tok, m.getOrDefault(tok, 0) + 1)
+        count += 1
+        bl = 0
+      }
+      i += 1
+    }
+    (packSorted(m), count)
+  }
+
+  private def termFreqsSlow(text: String): (Array[(String, Int)], Int) = {
     val toks = tokenize(text)
     val m = new java.util.HashMap[String, Int]()
     var i = 0
@@ -52,13 +90,17 @@ object Text {
       m.put(toks(i), m.getOrDefault(toks(i), 0) + 1)
       i += 1
     }
+    (packSorted(m), toks.length)
+  }
+
+  private def packSorted(m: java.util.HashMap[String, Int]): Array[(String, Int)] = {
     val out = new Array[(String, Int)](m.size)
     var j = 0
     val it = m.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); out(j) = (e.getKey, e.getValue); j += 1 }
     // deterministic order (term asc) so downstream fp sums are reproducible
     scala.util.Sorting.quickSort(out)(Ordering.by(_._1))
-    (out, toks.length)
+    out
   }
 
   /** Frozen extractor html -> text: strips tags, decodes the five basic

@@ -14,6 +14,30 @@ class CoreSpec extends AnyFunSuite {
     (0 until iters).foreach(_ => body(rnd))
   }
 
+  test("termFreqs fast ASCII path == tokenize-derived frequencies (property)") {
+    val pool = "abzAZ09 .,-_!?\t\n#@" // mixed case/digits/separators
+    forAllSeeded(500) { rnd =>
+      val s = Array.fill(rnd.nextInt(400))(pool(rnd.nextInt(pool.length))).mkString
+      val (tf, len) = Text.termFreqs(s)
+      val toks = Text.tokenize(s)
+      assert(len == toks.length, s"len mismatch for <$s>")
+      val want = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(tf.toMap == want, s"tf mismatch for <$s>")
+      assert(tf.map(_._1).toSeq == tf.map(_._1).toSeq.sorted) // term-asc order
+    }
+    // non-ASCII falls back to the frozen tokenizer (same results)
+    Seq("héllo wörld foo", "ascii then ünïcode", "日本語 text 42", "İstanbul I") // scalastyle:ignore
+      .foreach { s =>
+        val (tf, len) = Text.termFreqs(s)
+        val toks = Text.tokenize(s)
+        assert(len == toks.length && tf.toMap ==
+          toks.groupBy(identity).view.mapValues(_.length).toMap, s"<$s>")
+      }
+    // very long single token exercises buffer growth
+    val long = "x" * 5000 + " y"
+    assert(Text.termFreqs(long)._1.toMap == Map(("x" * 5000) -> 1, "y" -> 1))
+  }
+
   test("codec: docId delta-varbyte round-trips (property)") {
     forAllSeeded() { rnd =>
       val n = rnd.nextInt(300)
