@@ -122,6 +122,20 @@ object GateOps {
     ranked(Ann.ivfTopK(ivf, queryVec(spark, sfDir, 1), 10, nProbe = 8), asc = false)
   }
 
+  /** PQ path in exact mode (rerank set covers the whole gate corpus, like
+    * annIvf's nProbe == kCenters) so the oracle is brute-force L2; smaller
+    * rerankFactor is the production knob (recall measured in OpsSpec). */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 3)
+    val codes = Pq.encode(spark, emb, "vec_id", "embedding", model)
+    val nAll = emb.count()
+    val res = Pq.topK(spark, codes, emb, "vec_id", "embedding", model,
+      queryVec(spark, sfDir, 2), 10,
+      rerankFactor = ((nAll + 9) / 10).toInt.max(1))
+    ranked(res.select(col("key"), sqrt(col("dist2")).as("sim")), asc = true)
+  }
+
   // ---------- multimodal ----------
 
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =

@@ -117,6 +117,7 @@ object GateOpsOracle {
   val annDot: String = annSql("list_inner_product(embedding::DOUBLE[], q.qv)", 0, asc = false)
   val annL2: String = annSql("list_distance(embedding::DOUBLE[], q.qv)", 0, asc = true)
   val annIvf: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 1, asc = false)
+  val annPq: String = annSql("list_distance(embedding::DOUBLE[], q.qv)", 2, asc = true)
 
   val multimodalMeta: String =
     """SELECT doc_id,

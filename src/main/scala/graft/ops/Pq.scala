@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for the embedding column — the compressed ANN
+  * path of the capability surface (reference: jvector
+  * pq/ProductQuantization.java:103-129 train/encode,
+  * pq/PQVectors.java:112-123 ADC scoring; re-expressed Spark-first):
+  *
+  *  - TRAIN: the vector space splits into `m` contiguous subspaces; each
+  *    gets its own 256-entry codebook from k-means over a bounded,
+  *    deterministic key-hash sample (the reference caps training at 128k
+  *    vectors too, ProductQuantization.java:58). Training data is ~m·256
+  *    small centroids — driver-side Lloyd on the collected sample, no
+  *    iterative Spark jobs.
+  *  - ENCODE: one narrow map turns each vector into m bytes (nearest
+  *    centroid per subspace) — a 4·d/m × compression (32× for d=16, m=4
+  *    float32 inputs), the storage story at 10^12 vectors.
+  *  - QUERY (ADC): the query precomputes a 256-entry distance table per
+  *    subspace (driver, broadcast); scoring a code is m table lookups +
+  *    adds — the asymmetric-distance trick (PQDecoder.java:38-60). The
+  *    scan is a mapPartitions over the compressed codes; top k·rerank
+  *    survive.
+  *  - RERANK: survivors join back to the exact vectors and are re-scored
+  *    with the exact metric (two-phase rerank, the Q4 pattern): result
+  *    quality depends only on whether the true top-k are inside the
+  *    ADC top k·rerank, which the recall test pins.
+  */
+object Pq {
+
+  /** Trained product quantizer: codebooks(sub)(code) = centroid of the
+    * sub-th subspace (length dim/m). */
+  final case class Model(m: Int, dim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def encodeOne(v: Array[Double]): Array[Byte] = {
+      val code = new Array[Byte](m)
+      val w = dim / m
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < w) { val t = v(s * w + i) - cb(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        s += 1
+      }
+      code
+    }
+
+    /** Per-subspace ADC lookup tables for a query (squared-L2 parts). */
+    def distTables(q: Array[Double]): Array[Array[Double]] = {
+      val w = dim / m
+      Array.tabulate(m) { s =>
+        val cb = codebooks(s)
+        Array.tabulate(cb.length) { c =>
+          var d = 0.0
+          var i = 0
+          while (i < w) { val t = q(s * w + i) - cb(c)(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }
+
+    def adc(tables: Array[Array[Double]], code: Array[Byte]): Double = {
+      var d = 0.0
+      var s = 0
+      while (s < m) { d += tables(s)(code(s) & 0xFF); s += 1 }
+      d
+    }
+  }
+
+  /** Train codebooks on a deterministic key-hash sample (collected to the
+    * driver — bounded by sampleCap vectors; centroids init from the k
+    * smallest keys' sub-vectors, `iters` Lloyd rounds per subspace). */
+  def train(spark: SparkSession, emb: DataFrame, keyCol: String, vecCol: String,
+            m: Int, codes: Int = 256, iters: Int = 5,
+            sampleCap: Long = 131072L): Model = {
+    import spark.implicits._
+    val all = emb.select(col(keyCol).cast("long").as("key"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val n = all.count()
+    val frac = math.max(1L, (n + sampleCap - 1) / sampleCap)
+    val sample = (if (frac > 1L) all.filter(pmod(xxhash64(col("key")), lit(frac)) === 0)
+                  else all)
+      .as[(Long, Seq[Double])].orderBy($"key").collect()
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val w = dim / m
+    val vecs = sample.map(_._2.toArray)
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = vecs.map(v => java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w))
+      kmeansLocal(subs, math.min(codes, subs.length), iters)
+    }
+    Model(m, dim, codebooks)
+  }
+
+  /** Plain-Scala Lloyd on the (bounded) training sample. Deterministic:
+    * init = first k sub-vectors in key order; empty clusters keep their
+    * previous centroid. */
+  private def kmeansLocal(xs: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    var cents = xs.take(k).map(_.clone())
+    val w = xs.head.length
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](w))
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < w) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < w) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  /** Encode the corpus: (key, code bytes). One narrow map, no shuffle. */
+  def encode(spark: SparkSession, emb: DataFrame, keyCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    import spark.implicits._
+    val mB = spark.sparkContext.broadcast(model)
+    emb.select(col(keyCol).cast("long").as("key"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (k, v) => (k, mB.value.encodeOne(v.toArray)) }
+      .toDF("key", "code")
+  }
+
+  /** Approximate top-k by ADC over the compressed codes, then EXACT
+    * squared-L2 rerank of the k·rerankFactor survivors against the
+    * original vectors. Returns (key, dist2) ascending, k rows. */
+  def topK(spark: SparkSession, codes: DataFrame, emb: DataFrame,
+           keyCol: String, vecCol: String, model: Model,
+           query: Seq[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val tB = spark.sparkContext.broadcast(model.distTables(q))
+    val mB = spark.sparkContext.broadcast(model)
+    val kk = math.max(1, k * rerankFactor)
+    val approx = codes.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val heap = new graft.core.DoubleTopK(kk)
+        it.foreach { case (key, code) =>
+          // DoubleTopK keeps LARGEST scores; negate the distance
+          heap.offer(-mB.value.adc(tB.value, code), key)
+        }
+        heap.drain().iterator.map { case (negD, key) => (key, -negD) }
+      }.toDF("key", "adc2")
+      .orderBy($"adc2".asc, $"key".asc).limit(kk)
+    val qc = typedlit(q.toSeq)
+    val exactD = aggregate(
+      zip_with(transform(col(vecCol), x => x.cast("double")), qc, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    approx.join(emb.select(col(keyCol).cast("long").as("key"), col(vecCol)), "key")
+      .withColumn("dist2", exactD)
+      .select(col("key"), col("dist2"))
+      .orderBy(col("dist2").asc, col("key").asc)
+      .limit(k)
+  }
+}

@@ -75,6 +75,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall@nProbe=2 was $recall") // clustered data: high recall
   }
 
+  test("PQ: 32x-compressed codes + ADC + exact rerank reach high recall; full rerank exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 600L).map { i =>
+      val c = (i % 6).toInt
+      val v = Array.tabulate(16)(d => (if (d == 2 * c || d == 2 * c + 1) 4f else 0f)
+        + rnd.nextFloat())
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head()
+    val brute = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.L2)
+      .select($"key").as[Long].collect().toSeq
+    val model = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 5)
+    val codes = Pq.encode(spark, emb, "vec_id", "embedding", model).persist()
+    assert(codes.select($"code").as[Array[Byte]].head().length == 4) // 16 floats -> 4 bytes
+    // production mode: modest rerank budget, high recall on clustered data
+    val approx = Pq.topK(spark, codes, emb, "vec_id", "embedding", model, q, 10,
+      rerankFactor = 4).select($"key").as[Long].collect().toSeq
+    val recall = approx.toSet.intersect(brute.toSet).size / 10.0
+    assert(recall >= 0.8, s"PQ recall@rerank4 was $recall")
+    // exact mode: rerank set covers the corpus -> identical to brute force
+    val exact = Pq.topK(spark, codes, emb, "vec_id", "embedding", model, q, 10,
+      rerankFactor = 60).select($"key").as[Long].collect().toSeq
+    assert(exact == brute, "full-rerank PQ must equal brute force")
+  }
+
   test("multimodal: payload plumbing shapes and stub decode determinism") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
