@@ -33,27 +33,51 @@ final class HotIndex private (
   def stats: IndexStats = ix.stats
 
   /** Exact top-k BM25, rank-identical to [[InvertedIndex.search]]:
-    * (score desc, docId asc). */
-  def search(query: String, k: Int): Array[ScoredDoc] = {
-    val plan = ix.queryPlanFor(query)
-    if (plan.isEmpty || k <= 0) return Array.empty
+    * (score desc, docId asc).
+    * @param deny tombstoned docIds excluded from results (the serving-path
+    *   twin of the batch path's tombstone Dataset; ships with the job
+    *   closure — meant for the usual "small live deny set" regime, with
+    *   compaction + a fresh HotIndex as the durable path). */
+  def search(query: String, k: Int, deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] =
+    searchAll(Seq((0, query)), k, deny).headOption.map(_._2).getOrElse(Array.empty)
+
+  /** Batch serving: ONE job scores every query against each partition's
+    * term map (shared scan, jvector SiftSmall.java:92-113 parallel batch
+    * analog); returns per-query exact top-k. */
+  def searchAll(queries: Seq[(Int, String)], k: Int,
+                deny: Array[Long] = Array.emptyLongArray): Seq[(Int, Array[ScoredDoc])] = {
+    val plans = queries.map { case (qid, q) => (qid, ix.queryPlanFor(q)) }
+    if (k <= 0 || plans.forall(_._2.isEmpty)) return plans.map(p => (p._1, Array.empty[ScoredDoc]))
     val avgdl = ix.stats.avgdl
     val kk = k
-    val perPart: Array[Array[ScoredDoc]] =
+    val filter =
+      if (deny.isEmpty) Wand.DocFilter.All
+      else {
+        val d = new java.util.HashSet[java.lang.Long]()
+        deny.foreach(d.add(_))
+        new Wand.DocFilter(true, new java.util.HashSet(), d)
+      }
+    val perPart: Array[Seq[(Int, Array[ScoredDoc])]] =
       ix.spark.sparkContext.runJob(parts,
         (it: Iterator[java.util.HashMap[String, Array[Block]]]) =>
-          if (!it.hasNext) Array.empty[ScoredDoc]
+          if (!it.hasNext) Seq.empty[(Int, Array[ScoredDoc])]
           else {
             val m = it.next()
-            val termBlocks = plan.toSeq.sortBy(_._1).flatMap { case (t, (idf, ub)) =>
-              Option(m.get(t)).map(bs => (idf, ub, bs))
+            plans.map { case (qid, plan) =>
+              val termBlocks = plan.toSeq.sortBy(_._1).flatMap { case (t, (idf, ub)) =>
+                Option(m.get(t)).map(bs => (idf, ub, bs))
+              }
+              (qid, Wand.topK(termBlocks, kk, avgdl, filter))
             }
-            Wand.topK(termBlocks, kk, avgdl)
           })
-    // tiny driver merge: numPartitions × k candidates
-    val heap = new DoubleTopK(k)
-    perPart.foreach(_.foreach(sd => heap.offer(sd.score, sd.docId)))
-    heap.drain().map { case (s, d) => ScoredDoc(d, s) }
+    // tiny driver merge: numPartitions × k candidates per query
+    plans.map { case (qid, _) =>
+      val heap = new DoubleTopK(k)
+      perPart.foreach(_.foreach { case (q, hits) =>
+        if (q == qid) hits.foreach(sd => heap.offer(sd.score, sd.docId))
+      })
+      (qid, heap.drain().map { case (s, d) => ScoredDoc(d, s) })
+    }
   }
 
   def close(): Unit = parts.unpersist()

@@ -94,7 +94,7 @@ object Wand {
   /** Accept/deny predicate over docIds for filtered search + tombstones
     * (jvector's Bits acceptOrds, util/Bits.java:32-96). */
   final class DocFilter(allowAll: Boolean, allow: java.util.HashSet[java.lang.Long],
-                        deny: java.util.HashSet[java.lang.Long]) {
+                        deny: java.util.HashSet[java.lang.Long]) extends Serializable {
     @inline def accepts(d: Long): Boolean =
       (allowAll || allow.contains(d)) && !deny.contains(d)
   }

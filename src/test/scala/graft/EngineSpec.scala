@@ -301,6 +301,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(InvertedIndex.load(spark, dir).search(q, 5).count() == 5)
   }
 
+  test("cold-path candidate scan pushes bucket+term filters into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-push").toString
+    index.save(dir)
+    val loaded = InvertedIndex.load(spark, dir)
+    val planStr = loaded.search("t0 t1", 10).queryExecution.toString
+    assert(planStr.contains("PushedFilters: [In(bucket, ") &&
+      planStr.contains("In(term, "),
+      s"missing pushdown in plan:\n${planStr.take(2000)}")
+  }
+
+  test("catalog commit conflict: same version committed twice fails cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conflict").toString
+    index.save(dir) // v1
+    val snap = SegmentCatalog.current(spark, dir)
+    intercept[Exception] {
+      SegmentCatalog.commit(spark, dir, snap.copy(op = "rogue"))
+    } // snap-00000001.json exists -> create(overwrite=false) must throw
+    assert(SegmentCatalog.current(spark, dir).op == "save") // table unchanged
+  }
+
   test("HotIndex serving path rank- and score-identical to DataFrame search") {
     val hot = HotIndex(index)
     (queryStrings :+ "").foreach { q =>
@@ -308,6 +328,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == engineTopK(q, 10), s"HotIndex mismatch for '$q'")
     }
     assert(hot.search("t0", 0).isEmpty)
+    // batch serving: one job, same results per query
+    val batch = hot.searchAll(queryStrings.take(5).zipWithIndex.map(_.swap), 10).toMap
+    queryStrings.take(5).zipWithIndex.foreach { case (q, i) =>
+      assert(batch(i).map(sd => (sd.docId, sd.score)).toSeq == engineTopK(q, 10))
+    }
+    // tombstone-aware serving == batch tombstone path
+    import spark.implicits._
+    val dead = engineTopK("t0 t1", 3).map(_._1).toArray
+    val got = hot.search("t0 t1", 10, deny = dead).map(sd => (sd.docId, sd.score)).toSeq
+    val want = index.search("t0 t1", 10,
+      tombstones = Some(spark.createDataset(dead.toSeq)))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
     hot.close()
   }
 
