@@ -31,15 +31,25 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_key"))
       .filter(col("cnt") > 1)
 
-  /** (key, shingle) distinct char-5-grams of normalized text. */
-  def shingles(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
-    docs.select(col(keyCol).as("key"), normCol(col(textCol)).as("norm"))
-      .filter(length(col("norm")) > 0)
-      .select(col("key"), explode(expr(
-        """case when length(norm) < 5 then array(norm)
-          |else transform(sequence(1, length(norm) - 4), i -> substring(norm, i, 5))
-          |end""".stripMargin)).as("shingle"))
-      .distinct()
+  /** (key, shingle) distinct char-5-grams of normalized text.
+    *
+    * Per-doc distinctness is a LOCAL property, so it is computed in the
+    * flatMap (a Set per document) — no explode + corpus-wide distinct()
+    * exchange, which at web scale would shuffle ~|corpus|·|doc| shingle
+    * rows just to dedup within documents. The kernel (Analyze.shingles5
+    * over Analyze.normalize) equals the SQL formulation
+    * `substring(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ')), i, 5)`
+    * by construction — the DuckDB oracles keep using the SQL form. */
+  def shingles(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("long").as("key"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (k, t) =>
+        Analyze.shingles5(if (t == null) "" else t).iterator.map(s => (k, s))
+      }
+      .toDF("key", "shingle")
+  }
 
   /** Shingles that at most `dfCap` docs share — the candidate-generation
     * set. Hot (boilerplate) shingles are the quadratic fanout in a shingle

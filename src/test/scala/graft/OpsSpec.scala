@@ -189,6 +189,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(low < 15, s"j=0.3 collided $low/60 — banding not selective")
   }
 
+  test("multimodal: featureExtract vectors feed ANN; resize is deterministic and bounded") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, ("doc " + i) * (10 + (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val withP = Multimodal.withPayload(docs, "text")
+    val emb = Multimodal.featureExtract(withP, "doc_id")
+    val v = emb.orderBy($"key").select($"embedding").as[Seq[Float]].head()
+    assert(v.length == 16)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-5) // L2-normalized
+    // composes with the ANN operator stack
+    val q = emb.filter($"key" === 0).select($"embedding").as[Seq[Float]].head()
+    val top = Ann.bruteTopK(emb.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      q, 3, Ann.Cosine).select($"key").as[Long].collect()
+    assert(top.head == 0L) // self is its own nearest neighbor
+    val resized = Multimodal.resize(withP, "doc_id", 320, 240)
+      .orderBy($"key").select($"payload", $"width", $"height")
+      .as[(Array[Byte], Int, Int)].collect()
+    val orig = withP.orderBy($"doc_id").select($"payload").as[Array[Byte]].collect()
+    resized.zip(orig).foreach { case ((p, w, h), o) =>
+      assert(w == 320 && h == 240)
+      assert(p.length <= o.length && p.length >= o.length / 4 - 1) // ~quarter area
+    }
+    // determinism
+    val again = Multimodal.resize(withP, "doc_id", 320, 240)
+      .orderBy($"key").select($"payload").as[Array[Byte]].collect()
+    assert(again.zip(resized).forall { case (a, (b, _, _)) => a.sameElements(b) })
+  }
+
   test("exact dedup groups") {
     import spark.implicits._
     val docs = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("doc_id", "text")
