@@ -51,7 +51,8 @@ object IndexCli {
           else spark.read.parquet(input)
         val t0 = System.nanoTime()
         val ix = ResumableBuild.build(spark, corpus, dir,
-          IndexBuilder.Options(numShards = 32, rangePartitions = parts),
+          IndexBuilder.Options(numShards = 32, rangePartitions = parts,
+            quantizedBounds = sys.env.contains("SPARK_GRAFT_QUANTIZED")),
           numChunks = chunks,
           assumeSorted = sys.env.contains("SPARK_GRAFT_ASSUME_SORTED"),
           parallelChunks = sys.env.getOrElse("SPARK_GRAFT_PAR_CHUNKS", "1").toInt)
