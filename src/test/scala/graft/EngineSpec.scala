@@ -99,6 +99,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("searchMany degenerate queries: unknown terms and empty strings drop out cleanly") {
+    import spark.implicits._
+    val qs = Seq((0, "t0 t1"), (1, "zzznope qqqnope"), (2, ""), (3, "t7"))
+    val res = index.searchMany(qs.toDS(), 5)
+      .select($"queryId", $"docId").as[(Int, Long)].collect().toSeq
+      .groupBy(_._1)
+    assert(res.contains(0) && res.contains(3))
+    assert(!res.contains(1) && !res.contains(2)) // no rows, no failure
+  }
+
   test("searchAfter pagination: page1 ++ page2 == top-2k") {
     import spark.implicits._
     Seq("t0 t1", "t5 t100 t2000", "t7").foreach { q =>
