@@ -22,6 +22,15 @@ object Codec {
 
   // ---------------- varbyte ----------------
 
+  /** Encoded byte size of a non-negative value under [[writeVLong]] —
+    * shared by the manifest metaBytes accounting. */
+  def vlen(v0: Long): Int = {
+    var n = 1
+    var v = v0 >>> 7
+    while (v != 0) { n += 1; v >>>= 7 }
+    n
+  }
+
   /** Append v as LEB128-style varbyte (7 bits per byte, high bit = continue). */
   def writeVLong(buf: java.io.ByteArrayOutputStream, v0: Long): Unit = {
     require(v0 >= 0, s"varbyte requires non-negative, got $v0")

@@ -70,13 +70,16 @@ final class HotIndex private (
               (qid, Wand.topK(termBlocks, kk, avgdl, filter))
             }
           })
-    // tiny driver merge: numPartitions × k candidates per query
+    // tiny driver merge: numPartitions × k candidates per query, grouped
+    // once so the merge is O(Q·P), not O(Q²·P)
+    val byQid = new java.util.HashMap[Int, DoubleTopK]()
+    plans.foreach { case (qid, _) => byQid.put(qid, new DoubleTopK(k)) }
+    perPart.foreach(_.foreach { case (q, hits) =>
+      val heap = byQid.get(q)
+      hits.foreach(sd => heap.offer(sd.score, sd.docId))
+    })
     plans.map { case (qid, _) =>
-      val heap = new DoubleTopK(k)
-      perPart.foreach(_.foreach { case (q, hits) =>
-        if (q == qid) hits.foreach(sd => heap.offer(sd.score, sd.docId))
-      })
-      (qid, heap.drain().map { case (s, d) => ScoredDoc(d, s) })
+      (qid, byQid.get(qid).drain().map { case (s, d) => ScoredDoc(d, s) })
     }
   }
 

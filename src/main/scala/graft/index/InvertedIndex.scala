@@ -244,6 +244,8 @@ final case class InvertedIndex(
     * and no per-query driver work exists at all. Scores are computed with
     * the same kernels as [[search]], so results are value-identical. */
   def searchMany(queries: Dataset[(Int, String)], k: Int): DataFrame = {
+    if (k <= 0) return spark.emptyDataset[(Int, Long, Double)]
+      .toDF("queryId", "docId", "score")
     val n = stats.numDocs
     val avgdl = stats.avgdl
     val kk = k
@@ -346,7 +348,9 @@ final case class InvertedIndex(
     * which is exactly how a compacted index replaces its source in place:
     * `ix.compact(dead).save(dir)` is a snapshot swap, not a dir mutation. */
   def save(dir: String): Unit = {
-    val v = SegmentCatalog.currentVersion(spark, dir).getOrElse(0L) + 1
+    val prev = SegmentCatalog.currentVersion(spark, dir)
+      .map(v => SegmentCatalog.readSnapshot(spark, dir, v))
+    val v = prev.map(_.version).getOrElse(0L) + 1
     val cid = s"w$v" // writer-owned chunk id: never collides across versions
     SegmentCatalog.writeBlocksChunk(blocks, dir, cid)
     SegmentCatalog.writeDocsChunk(docs, dir, cid)
@@ -355,7 +359,12 @@ final case class InvertedIndex(
       version = v, parent = v - 1, op = if (v == 1) "save" else "rewrite",
       tsMs = System.currentTimeMillis(), formatVersion = SegmentCatalog.FormatVersion,
       blockChunks = Seq(cid), docChunks = Seq(cid), dictVersion = v,
-      stats = stats, maxStreamBatch = -1L))
+      stats = stats,
+      // rewrite onto an existing table must carry the streaming replay
+      // mark and docId allocation high-water mark FORWARD — a compaction
+      // shrinks numDocs, never the id space or the batch history
+      maxStreamBatch = prev.map(_.maxStreamBatch).getOrElse(-1L),
+      nextDocId = math.max(stats.numDocs, prev.map(_.nextDocId).getOrElse(0L))))
   }
 }
 

@@ -83,12 +83,22 @@ object ResumableBuild {
     def shardOf(docId: Long): Int =
       if (numDocs == 0) 0 else math.min(nShards - 1, (docId * nShards / numDocs).toInt)
 
+    // Chunk ids are scoped by the version this build WILL commit, so a
+    // re-build into an existing catalog writes fresh dirs and can never
+    // mutate chunks a retained snapshot references (nor mistake a prior
+    // build's manifests for its own resume state). Stable across resume
+    // attempts: the version only advances at the final commit.
+    val prevSnap = SegmentCatalog.currentVersion(spark, dir)
+      .map(v => SegmentCatalog.readSnapshot(spark, dir, v))
+    val buildVersion = prevSnap.map(_.version).getOrElse(0L) + 1
+    def chunkId(c: Int): String = s"v$buildVersion-$c"
+
     // doc metadata pass (docLen via the allocation-free token counter);
     // runs CONCURRENTLY with the chunk jobs below — stats are derived
     // from the written table at finalize, nothing downstream of the
-    // chunks needs them. One docs chunk dir per build ("b0"), published
-    // by the final snapshot commit.
-    val docsChunkId = "b0"
+    // chunks needs them. One docs chunk dir per build, published by the
+    // final snapshot commit.
+    val docsChunkId = s"v$buildVersion-docs"
     def writeDocs(): Unit = phase("docs-write") {
       SegmentCatalog.writeDocsChunk(
         sorted.mapPartitions { it =>
@@ -120,8 +130,8 @@ object ResumableBuild {
         Some(java.util.concurrent.Executors.newFixedThreadPool(parallelChunks))
       else None
     def runChunk(c: Int): Unit = {
-      val segDir = new Path(SegmentCatalog.blocksChunkPath(dir, c.toString))
-      val maniPath = new Path(s"$dir/manifest/chunk-$c.json")
+      val segDir = new Path(SegmentCatalog.blocksChunkPath(dir, chunkId(c)))
+      val maniPath = new Path(s"$dir/manifest/v$buildVersion-chunk-$c.json")
       val committed = fs.exists(maniPath) && fs.exists(new Path(segDir, "_SUCCESS"))
       val (dLo, dHi) = chunkDocRange(c)
       if (!committed) {
@@ -138,13 +148,9 @@ object ResumableBuild {
         val blocks = IndexBuilder.spimiBlocks(sorted, offB, numDocs, nShards,
           (dLo, dHi), opts)
         phase(s"chunk$c-write") {
-          SegmentCatalog.writeBlocksChunk(blocks, dir, c.toString) }
+          SegmentCatalog.writeBlocksChunk(blocks, dir, chunkId(c)) }
         val written = spark.read.parquet(segDir.toString)
-        val vlen = udf((v: Int) => { // varint byte size of the bound value
-          var n = 1; var x = v >>> 7
-          while (x != 0) { n += 1; x >>>= 7 }
-          n.toLong
-        })
+        val vlen = udf((v: Int) => graft.core.Codec.vlen(v.toLong).toLong)
         val (nBlocks, nPostings, metaBytes) = phase(s"chunk$c-stats") {
           written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)),
             coalesce(sum(vlen($"maxTf") + vlen($"minDl")), lit(0L)))
@@ -154,7 +160,7 @@ object ResumableBuild {
             sum($"tfSum").cast("long").as("cf"),
             max($"maxTf").as("maxTf"),
             min($"minDl").as("minDl"))
-          .write.mode("overwrite").parquet(s"$dir/dictparts/chunk=$c")
+          .write.mode("overwrite").parquet(s"$dir/dictparts/chunk=${chunkId(c)}")
         val ms = (System.nanoTime() - t0) / 1000000
         val chunkDocs = dHi - dLo
         val bytes = fs.getContentSummary(segDir).getLength
@@ -191,9 +197,10 @@ object ResumableBuild {
     // finalize: merge per-chunk dictionary partials, then publish
     // EVERYTHING (chunks + dict + stats) as one atomic snapshot commit —
     // readers never see a build mid-flight
-    val version = SegmentCatalog.currentVersion(spark, dir).getOrElse(0L) + 1
+    val version = buildVersion
     val dict = phase("dict-write") {
-      val partial = spark.read.parquet(s"$dir/dictparts")
+      val partial = spark.read.option("basePath", s"$dir/dictparts").parquet(
+        chunks.map(c => s"$dir/dictparts/chunk=${chunkId(c)}"): _*)
       val merged = partial.groupBy($"term").agg(
         sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("int").as("maxTf"), min($"minDl").cast("int").as("minDl"))
@@ -204,8 +211,10 @@ object ResumableBuild {
     val snap = SegmentCatalog.commit(spark, dir, SegmentCatalog.Snapshot(
       version = version, parent = version - 1, op = "build",
       tsMs = System.currentTimeMillis(), formatVersion = SegmentCatalog.FormatVersion,
-      blockChunks = chunks.map(_.toString), docChunks = Seq(docsChunkId),
-      dictVersion = version, stats = stats, maxStreamBatch = -1L))
+      blockChunks = chunks.map(chunkId), docChunks = Seq(docsChunkId),
+      dictVersion = version, stats = stats,
+      maxStreamBatch = prevSnap.map(_.maxStreamBatch).getOrElse(-1L),
+      nextDocId = math.max(numDocs, prevSnap.map(_.nextDocId).getOrElse(0L))))
     if (!assumeSorted) sorted.unpersist()
     InvertedIndex(spark, docs, SegmentCatalog.readBlocks(spark, dir, snap), dict, stats)
   }

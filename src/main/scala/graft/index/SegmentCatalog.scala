@@ -50,7 +50,10 @@ object SegmentCatalog {
 
   /** One immutable table version. `blockChunks`/`docChunks` are chunk-dir
     * ids under blocks/ and docs/; `dictVersion` names dict/v=<n>;
-    * `maxStreamBatch` is the streaming idempotency high-water mark. */
+    * `maxStreamBatch` is the streaming idempotency high-water mark;
+    * `nextDocId` is the docId allocation high-water mark — it only ever
+    * grows, so compaction (which shrinks numDocs but NOT the id space)
+    * can never cause a later append to re-issue a surviving doc's id. */
   final case class Snapshot(
       version: Long,
       parent: Long,
@@ -61,7 +64,8 @@ object SegmentCatalog {
       docChunks: Seq[String],
       dictVersion: Long,
       stats: IndexStats,
-      maxStreamBatch: Long)
+      maxStreamBatch: Long,
+      nextDocId: Long)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -76,12 +80,19 @@ object SegmentCatalog {
   def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
     val fs = fsOf(spark, dir)
     val p = hintPath(dir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        "UTF-8").trim.toLong)
-      finally in.close()
+    def read(): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    // one short retry covers the delete+rename fallback window of a
+    // concurrent commit on non-clobbering filesystems
+    read().orElse {
+      if (!fs.exists(new Path(s"$dir/catalog"))) None
+      else { Thread.sleep(50); read() }
     }
   }
 
@@ -106,13 +117,18 @@ object SegmentCatalog {
       dictVersion = m.get("dictVersion").asLong(),
       stats = IndexStats(m.get("numDocs").asLong(), m.get("totalTokens").asLong(),
         m.get("avgdl").asDouble(), m.get("numShards").asInt()),
-      maxStreamBatch = m.get("maxStreamBatch").asLong())
+      maxStreamBatch = m.get("maxStreamBatch").asLong(),
+      nextDocId =
+        if (m.has("nextDocId")) m.get("nextDocId").asLong()
+        else m.get("numDocs").asLong()) // pre-field snapshots never compacted
   }
 
   def current(spark: SparkSession, dir: String): Snapshot =
     readSnapshot(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalStateException(
-        s"no catalog at $dir (missing ${hintPath(dir)})")))
+        s"no snapshot catalog at $dir (missing ${hintPath(dir)}). " +
+        "Not a graft format-v2 index: v1 bare-dir indexes predate the " +
+        "catalog — rebuild, or re-save from the session that built them.")))
 
   /** Commit `snap` as the next table version. The snapshot file is created
     * with overwrite=false — if another writer committed the same version
@@ -130,16 +146,22 @@ object SegmentCatalog {
       s""""docChunks":${snap.docChunks.map(c => s""""$c"""").mkString("[", ",", "]")},""" +
       s""""dictVersion":${snap.dictVersion},"numDocs":${snap.stats.numDocs},""" +
       s""""totalTokens":${snap.stats.totalTokens},"avgdl":${snap.stats.avgdl},""" +
-      s""""numShards":${snap.stats.numShards},"maxStreamBatch":${snap.maxStreamBatch}}"""
+      s""""numShards":${snap.stats.numShards},"maxStreamBatch":${snap.maxStreamBatch},""" +
+      s""""nextDocId":${snap.nextDocId}}"""
     val sp = snapPath(dir, snap.version)
     val out = fs.create(sp, false) // conflict detection: fails if version exists
     out.write(json.getBytes("UTF-8")); out.close()
     val tmp = new Path(s"$dir/catalog/.hint-${snap.version}.tmp")
     val ho = fs.create(tmp, true)
     ho.write(snap.version.toString.getBytes("UTF-8")); ho.close()
-    fs.delete(hintPath(dir), false)
-    if (!fs.rename(tmp, hintPath(dir)))
-      throw new IllegalStateException(s"hint swap failed for v${snap.version}")
+    // rename-over-existing first (atomic on POSIX local FS — no window
+    // with a missing hint); fall back to delete+rename on filesystems
+    // that refuse to clobber (readers there retry, see currentVersion)
+    if (!fs.rename(tmp, hintPath(dir))) {
+      fs.delete(hintPath(dir), false)
+      if (!fs.rename(tmp, hintPath(dir)))
+        throw new IllegalStateException(s"hint swap failed for v${snap.version}")
+    }
     snap
   }
 
@@ -220,23 +242,31 @@ object SegmentCatalog {
       .sorted.map(readSnapshot(spark, dir, _))
   }
 
-  /** Drop all but the `keepLast` most recent snapshots and delete every
-    * chunk/dict dir no retained snapshot references (Iceberg
-    * expire_snapshots analog). The current version is always retained. */
+  /** Drop all but the `keepLast` most recent COMMITTED snapshots and
+    * delete every chunk/dict dir no retained snapshot references (Iceberg
+    * expire_snapshots analog). The CURRENT (hint-referenced) version is
+    * always retained — orphan snapshot files with a HIGHER version than
+    * the hint (a commit that crashed before its hint swap) are garbage,
+    * not "most recent", and are expired like any dead snapshot. */
   def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 1): Unit = {
     val fs = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir).getOrElse(return)
     val all = listSnapshots(spark, dir)
-    if (all.size <= keepLast) return
-    val (dead, kept) = all.splitAt(all.size - keepLast)
+    val committed = all.filter(_.version <= cur)
+    val kept = committed.takeRight(math.max(1, keepLast))
+    val keptV = kept.map(_.version).toSet
+    require(keptV.contains(cur), s"current v$cur missing from catalog listing")
+    val dead = all.filterNot(s => keptV.contains(s.version))
+    if (dead.isEmpty) return
     val keepB = kept.flatMap(_.blockChunks).toSet
     val keepD = kept.flatMap(_.docChunks).toSet
-    val keepV = kept.map(_.dictVersion).toSet
+    val keepDict = kept.map(_.dictVersion).toSet
     dead.foreach { s =>
       s.blockChunks.filterNot(keepB).foreach(c =>
         fs.delete(new Path(blocksChunkPath(dir, c)), true))
       s.docChunks.filterNot(keepD).foreach(c =>
         fs.delete(new Path(docsChunkPath(dir, c)), true))
-      if (!keepV(s.dictVersion)) fs.delete(new Path(dictPath(dir, s.dictVersion)), true)
+      if (!keepDict(s.dictVersion)) fs.delete(new Path(dictPath(dir, s.dictVersion)), true)
       fs.delete(snapPath(dir, s.version), false)
     }
   }

@@ -201,7 +201,10 @@ object Dedup {
     val assigned = unit.as[(Long, Seq[Double], Seq[Double])].map { case (k, v, u) =>
       val (c, d2) = Ann.nearestCentroidDist(u.toArray, cB.value)
       (k, c, math.sqrt(d2), v)
-    }.toDF("k", "c", "dist", "v").persist()
+    }.toDF("k", "c", "dist", "v")
+    // NOT persisted: assignment is a cheap deterministic map over the
+    // corpus, and a library-held cache would leak for the session's
+    // lifetime; at scale callers persist the assignment explicitly
     // per-cluster radius (tiny agg: kCenters rows)
     val radii = new Array[Double](centroids.length)
     assigned.groupBy(col("c")).agg(max(col("dist")).as("r"))

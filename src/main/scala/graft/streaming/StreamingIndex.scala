@@ -24,8 +24,9 @@ import graft.index._
   * invalidates stored segments (see Model.Block).
   *
   * Exactly-once: every per-batch write is an idempotent overwrite of a
-  * batch-owned chunk dir (`chunk=s<batchId>`), docIds derive from the
-  * PARENT SNAPSHOT's numDocs (not from mutable files), and the single
+  * batch-owned, version-scoped chunk dir (`chunk=v<V>-s<batchId>`), docIds
+  * derive from the PARENT SNAPSHOT's nextDocId high-water mark (monotone
+  * even across compactions — never from mutable files), and the single
   * commit point is the catalog snapshot naming the new chunks + the new
   * stats + the batch high-water mark. A crash anywhere before the commit
   * leaves the table at its previous snapshot; the replayed batch recomputes
@@ -57,10 +58,16 @@ object StreamingIndex {
     val snap = SegmentCatalog.current(spark, dir)
     if (batchId <= snap.maxStreamBatch) return // committed replay: skip
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val cid = s"s$batchId"
+    // version-scoped chunk id: a replayed batch recomputes the SAME id
+    // (same parent snapshot), while chunks referenced by other snapshots
+    // (e.g. a restarted stream after compaction) can never be clobbered
+    val cid = s"v${snap.version + 1}-s$batchId"
 
     val t0 = System.nanoTime()
-    val baseDocs = snap.stats.numDocs
+    // allocate docIds from the snapshot's high-water mark, NOT numDocs:
+    // a compaction shrinks numDocs but surviving docs keep their ids, so
+    // only nextDocId (monotone) can never re-issue a live id
+    val baseDocs = snap.nextDocId
     val shard = snap.stats.numShards + batchId.toInt // one shard per micro-batch
 
     val in = IndexBuilder.normalize(spark, batch).as[(String, String, String)]
@@ -93,11 +100,7 @@ object StreamingIndex {
       }
     }
     val blocks = IndexBuilder.encodeBlocks(spark, postings, opts).persist()
-    val vlen = udf((v: Int) => {
-      var n = 1; var x = v >>> 7
-      while (x != 0) { n += 1; x >>>= 7 }
-      n.toLong
-    })
+    val vlen = udf((v: Int) => graft.core.Codec.vlen(v.toLong).toLong)
     val (nBlocks, nPostings, metaBytes) = blocks.agg(count(lit(1)),
       coalesce(sum($"n"), lit(0L)),
       coalesce(sum(vlen($"maxTf") + vlen($"minDl")), lit(0L)))
@@ -108,7 +111,7 @@ object StreamingIndex {
     val batchDocs = offsets(parts)
     docs.unpersist()
     sorted.unpersist()
-    val newDocs = baseDocs + batchDocs
+    val newDocs = snap.stats.numDocs + batchDocs
     val newTokens = snap.stats.totalTokens + batchTokens
     val newStats = IndexStats(newDocs, newTokens,
       if (newDocs == 0) 0.0 else newTokens.toDouble / newDocs, snap.stats.numShards)
@@ -122,7 +125,7 @@ object StreamingIndex {
       s""""bytes":${fs.getContentSummary(segDir).getLength},""" +
       s""""elapsedMs":$ms,"docsPerSec":${if (ms == 0) 0.0 else batchDocs * 1000.0 / ms},""" +
       s""""metaBytes":$metaBytes}"""
-    val maniPath = new Path(s"$dir/manifest/chunk-s$batchId.json")
+    val maniPath = new Path(s"$dir/manifest/chunk-$cid.json")
     val tmp = new Path(maniPath.getParent, maniPath.getName + ".tmp")
     val out = fs.create(tmp, true)
     out.write(json.getBytes("UTF-8")); out.close()
@@ -137,7 +140,8 @@ object StreamingIndex {
       tsMs = System.currentTimeMillis(),
       blockChunks = snap.blockChunks :+ cid,
       docChunks = snap.docChunks :+ cid,
-      stats = newStats, maxStreamBatch = batchId))
+      stats = newStats, maxStreamBatch = batchId,
+      nextDocId = baseDocs + batchDocs))
     // invalidate this session's cached listings of the (reused) table roots
     Seq("blocks", "docs").foreach(p => spark.catalog.refreshByPath(s"$dir/$p"))
   }

@@ -102,6 +102,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SegmentCatalog.current(spark, dir).stats.numDocs == 260)
   }
 
+  test("append after compaction never re-issues surviving docIds; rewrite keeps the replay mark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-append").toString
+    val opts = IndexBuilder.Options(numShards = 4, rangePartitions = 4)
+    val all = (0L until 300L).map(i => WebCorpus.page(17L, i))
+    def toDf(ps: Seq[WebCorpus.Page]) =
+      ps.map(p => (p.url, p.text, p.lang)).toDF("url", "text", "lang")
+    ResumableBuild.build(spark, toDf(all.take(200)), dir, opts, numChunks = 2)
+    StreamingIndex.appendBatch(spark, toDf(all.slice(200, 250)), dir, opts, 0L)
+    // compact away some docs and swap the snapshot in place
+    val preCompact = StreamingIndex.refresh(spark, dir)
+    val dead = preCompact.docs.filter($"docId" < 20L).select($"docId").as[Long]
+    preCompact.compact(dead).save(dir)
+    val snap = SegmentCatalog.current(spark, dir)
+    assert(snap.stats.numDocs == 230 && snap.nextDocId == 250,
+      s"numDocs=${snap.stats.numDocs} nextDocId=${snap.nextDocId}")
+    assert(snap.maxStreamBatch == 0L, "rewrite must keep the replay mark")
+    // a replay of committed batch 0 is still a no-op after the rewrite
+    StreamingIndex.appendBatch(spark, toDf(all.slice(200, 250)), dir, opts, 0L)
+    assert(SegmentCatalog.current(spark, dir).stats.numDocs == 230)
+    // the NEXT batch allocates ids 250.. (above every surviving id)
+    StreamingIndex.appendBatch(spark, toDf(all.drop(250)), dir, opts, 1L)
+    val ix = StreamingIndex.refresh(spark, dir)
+    assert(ix.stats.numDocs == 280)
+    assert(ix.docs.count() == 280)
+    assert(ix.docs.select($"docId").distinct().count() == 280,
+      "docId collision after compaction+append")
+  }
+
   test("streaming hourly window agg == batch equivalent") {
     import spark.implicits._
     val events = (0 until 500).map { i =>
