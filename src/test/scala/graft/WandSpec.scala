@@ -126,6 +126,49 @@ class WandSpec extends AnyFunSuite with TimeLimits {
       s"decoded ${stats.decodedBlocks} of ${stats.totalBlocks}")
   }
 
+  test("searchAfter cursor == naive rank window (200 random corpora)") {
+    failAfter(Span(60, Seconds)) {
+      val rnd = new Random(555)
+      (0 until 200).foreach { iter =>
+        val (termBlocks, naive, avgdl) = makeCorpus(rnd, 20 + rnd.nextInt(200), 2 + rnd.nextInt(20))
+        val ranked = naive.toSeq.sortBy { case (d, s) => (-s, d) }
+        if (ranked.size > 3) {
+          val k = 1 + rnd.nextInt(5)
+          val cut = rnd.nextInt(ranked.size - 1)
+          val (cd, cs) = ranked(cut)
+          val got = Wand.topK(termBlocks, k, avgdl, after = ScoredDoc(cd, cs)).toSeq
+          val want = ranked.drop(cut + 1).take(k).map { case (d, s) => ScoredDoc(d, s) }
+          assert(got.map(_.docId) == want.map(_.docId), s"iter=$iter cut=$cut k=$k")
+        }
+      }
+    }
+  }
+
+  test("quantized block bounds: rank-identical topK + threshold (200 random corpora)") {
+    failAfter(Span(60, Seconds)) {
+      val rnd = new Random(777)
+      (0 until 200).foreach { iter =>
+        val (termBlocks, naive, avgdl) = makeCorpus(rnd, 20 + rnd.nextInt(200), 2 + rnd.nextInt(20))
+        // quantize every block's bound metadata; recompute per-term ub
+        val qBlocks = termBlocks.map { case (idf, _, bs) =>
+          val qb = bs.map(IndexBuilder.quantizeBlock)
+          val ub = idf * qb.map(b => Text.tfPartial(b.maxTf, b.minDl.toLong, avgdl)).max
+          (idf, ub, qb)
+        }
+        val k = 1 + rnd.nextInt(10)
+        val got = Wand.topK(qBlocks, k, avgdl).toSeq
+        val want = naive.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+          .map { case (d, s) => ScoredDoc(d, s) }
+        assert(got.map(_.docId) == want.map(_.docId), s"iter=$iter k=$k")
+        got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-12) }
+        val tau = 0.2 + rnd.nextDouble() * 2
+        val gt = Wand.threshold(qBlocks, tau, avgdl).toSeq.sortBy(_.docId)
+        val wt = naive.toSeq.filter(_._2 >= tau).sortBy(_._1)
+        assert(gt.map(_.docId) == wt.map(_._1), s"iter=$iter tau=$tau")
+      }
+    }
+  }
+
   test("Quant: admissible 4-significant-bit rounding") {
     val rnd = new Random(77)
     (0 until 5000).foreach { _ =>
