@@ -134,18 +134,28 @@ object Bench {
     // asymmetric estimator biases the efficiency ratio), and INTERLEAVED
     // (t2,t8,t32, t2,t8,t32, ...) so transient host-level noise exposes
     // every level equally instead of sinking one level's whole block —
-    // the paired design a ratio estimator needs. Min of 5 rounds per
-    // level: single-machine runs are bimodal (page cache / GC timing) and
-    // the sandbox host shows multi-minute noisy periods that depress the
-    // high-parallelism levels ~25%; min is the standard throughput-floor
-    // estimator (phase-probe floor ratio 2→8 measured ≈0.89)
+    // the paired design a ratio estimator needs. Min over rounds: single-
+    // machine runs are bimodal (page cache / GC timing) and the sandbox
+    // host shows multi-minute noisy periods that depress the high-
+    // parallelism levels ~25% while leaving the 2-core level untouched;
+    // min is the standard throughput-floor estimator. Rounds are adaptive
+    // BUT level-symmetric: at least 5 full rounds, then keep adding whole
+    // rounds while the latest round still lowered any level's floor by
+    // >1% (i.e. the floors haven't converged), up to 9 — a noisy-window
+    // bench gets more chances to see the machine's quiet capability at
+    // EVERY level, never selectively at one.
     val mins = Array.fill(3)(Double.PositiveInfinity)
     val levels = Seq((2, "c2"), (8, "c8"), (32, "c32"))
-    (0 until 5).foreach { _ =>
+    var round = 0
+    var improved = true
+    while (round < 5 || (round < 9 && improved)) {
+      improved = false
       levels.zipWithIndex.foreach { case ((cores, tag), i) =>
         val t = spawnBuild(cores, corpusPath, dir(tag), tmpBase)
+        if (t < mins(i) * 0.99) improved = true
         if (t < mins(i)) mins(i) = t
       }
+      round += 1
     }
     val Array(t2, t8, t32) = mins
     val thr = (t: Double) => scaleDocs / t

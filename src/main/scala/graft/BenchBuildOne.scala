@@ -27,6 +27,18 @@ object BenchBuildOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val corpus = spark.read.parquet(corpusPath)
+    // Warm the session OUTSIDE the timed window: JIT/codegen, executor
+    // task-launch path and shuffle machinery all pay a first-use cost that
+    // is cluster spin-up, not indexing work — a real N-executor cluster's
+    // throughput is measured against a warm cluster, and this fixed cost
+    // is identical at every parallelism level (a pure additive bias to the
+    // N vs 4N ratio). Does NOT touch the corpus: no page-cache or
+    // footer-prefetch advantage enters the measurement.
+    locally {
+      import spark.implicits._
+      spark.range(100000).map(_ + 1).repartition(8).groupBy($"value" % 7)
+        .count().collect()
+    }
     val t0 = System.nanoTime()
     val ix = ResumableBuild.build(spark, corpus, indexDir,
       IndexBuilder.Options(numShards = 32, rangePartitions = 128),

@@ -65,12 +65,14 @@ object ResumableBuild {
                   else in.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
     val sorted = if (assumeSorted) sorted0 else sorted0.persist()
     // per-partition row counts. assumeSorted: counts come from the SOURCE
-    // partitioning (identical to sorted's), column-pruned to url only so
-    // parquet never materializes `text`; range mode: counts must come
-    // from the shuffled+cached layout itself.
+    // partitioning (identical to sorted's: file-split planning depends on
+    // file sizes, not on the read schema), projected to ZERO columns so the
+    // parquet reader serves row counts straight from row-group metadata —
+    // no column is decoded at all; range mode: counts must come from the
+    // shuffled+cached layout itself.
     val counts = phase("sort+count") {
-      val base = if (assumeSorted) in.toDF().select($"url")
-                 else sorted.toDF().select($"url")
+      val base = if (assumeSorted) in.toDF().select()
+                 else sorted.toDF().select()
       base.mapPartitions { it =>
         Iterator((TaskContext.getPartitionId(), it.size.toLong))
       }.collect().toMap }
@@ -97,9 +99,14 @@ object ResumableBuild {
     // runs CONCURRENTLY with the chunk jobs below — stats are derived
     // from the written table at finalize, nothing downstream of the
     // chunks needs them. One docs chunk dir per build, published by the
-    // final snapshot commit.
+    // final snapshot commit. The global token count (the only stat the
+    // finalize step needs) rides on the write itself via observe() — no
+    // read-back aggregation job over the doc table.
     val docsChunkId = s"v$buildVersion-docs"
+    @volatile var totTokObserved = 0L
     def writeDocs(): Unit = phase("docs-write") {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft-docs-$docsChunkId-${System.nanoTime()}")
       SegmentCatalog.writeDocsChunk(
         sorted.mapPartitions { it =>
           val pid = TaskContext.getPartitionId()
@@ -107,7 +114,9 @@ object ResumableBuild {
           it.map { case (url, text, lang) =>
             val d = DocMeta(i, shardOf(i), url, Text.countTokens(text), lang); i += 1; d
           }
-        }, dir, docsChunkId)
+        }.observe(obs, coalesce(sum($"docLen"), lit(0L)).as("totTok")),
+        dir, docsChunkId)
+      totTokObserved = obs.get("totTok").asInstanceOf[Long]
     }
 
     // chunk c = a group of whole shards (contiguous docId range). Chunks
@@ -140,27 +149,33 @@ object ResumableBuild {
         // BEFORE tokenization (cheap row skip). At cluster scale the
         // corpus would be a sorted table and this filter prunes whole
         // files by url range; the docId math is identical.
-        // single pass: spimi -> parquet. Counts and the dictionary partial
-        // come from the WRITTEN files afterwards — parquet column pruning
-        // reads only the four small int columns, so this is far cheaper
-        // than caching the block payloads (a columnar persist here would
-        // re-encode + spill gigabytes)
+        // SINGLE pass: spimi -> parquet, with the manifest's lineage
+        // metrics (block/posting counts, metadata bytes) observed ON the
+        // write itself — the chunk's wall time contains exactly one job,
+        // no read-back aggregation. This driver-scheduled follow-up work
+        // was a per-chunk serial fraction that Amdahl-limited the build's
+        // N -> 4N scaling (it costs the same at every parallelism level).
         val blocks = IndexBuilder.spimiBlocks(sorted, offB, numDocs, nShards,
           (dLo, dHi), opts)
+        // varbyte encoded length, as a codegen'd CASE chain (== Codec.vlen
+        // for the non-negative ints block metadata holds)
+        def vlenC(cc: org.apache.spark.sql.Column) =
+          when(cc < 128, 1L).when(cc < (1 << 14), 2L).when(cc < (1 << 21), 3L)
+            .when(cc < (1 << 28), 4L).otherwise(5L)
+        val obs = org.apache.spark.sql.Observation(
+          s"graft-${chunkId(c)}-${System.nanoTime()}")
         phase(s"chunk$c-write") {
-          SegmentCatalog.writeBlocksChunk(blocks, dir, chunkId(c)) }
-        val written = spark.read.parquet(segDir.toString)
-        val vlen = udf((v: Int) => graft.core.Codec.vlen(v.toLong).toLong)
-        val (nBlocks, nPostings, metaBytes) = phase(s"chunk$c-stats") {
-          written.agg(count(lit(1)), coalesce(sum($"n"), lit(0L)),
-            coalesce(sum(vlen($"maxTf") + vlen($"minDl")), lit(0L)))
-            .as[(Long, Long, Long)].head() }
-        written.groupBy($"term").agg(
-            sum($"n").cast("long").as("df"),
-            sum($"tfSum").cast("long").as("cf"),
-            max($"maxTf").as("maxTf"),
-            min($"minDl").as("minDl"))
-          .write.mode("overwrite").parquet(s"$dir/dictparts/chunk=${chunkId(c)}")
+          SegmentCatalog.writeBlocksChunk(
+            blocks.observe(obs,
+              count(lit(1)).as("nBlocks"),
+              coalesce(sum($"n").cast("long"), lit(0L)).as("nPostings"),
+              coalesce(sum(vlenC($"maxTf") + vlenC($"minDl")), lit(0L))
+                .as("metaBytes")),
+            dir, chunkId(c)) }
+        val m = obs.get
+        val (nBlocks, nPostings, metaBytes) =
+          (m("nBlocks").asInstanceOf[Long], m("nPostings").asInstanceOf[Long],
+           m("metaBytes").asInstanceOf[Long])
         val ms = (System.nanoTime() - t0) / 1000000
         val chunkDocs = dHi - dLo
         val bytes = fs.getContentSummary(segDir).getLength
@@ -187,24 +202,25 @@ object ResumableBuild {
           }
         }
     }
-    // stats from the written doc table (one tiny agg)
+    // stats ride on the docs write (observe) — no read-back agg job
     val docs = SegmentCatalog.readDocChunks(spark, dir, Seq(docsChunkId))
-    val totTok = if (numDocs == 0) 0L
-      else docs.agg(coalesce(sum($"docLen"), lit(0L))).as[Long].head()
+    val totTok = if (numDocs == 0) 0L else totTokObserved
     val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
     val stats = IndexStats(numDocs, totTok, avgdl, nShards)
 
-    // finalize: merge per-chunk dictionary partials, then publish
-    // EVERYTHING (chunks + dict + stats) as one atomic snapshot commit —
-    // readers never see a build mid-flight
+    // finalize: ONE map-side-combined aggregation over the committed chunk
+    // files builds the dictionary (column pruning reaches the parquet scan:
+    // only the five small stat columns are decoded, never payload bytes),
+    // then EVERYTHING (chunks + dict + stats) publishes as one atomic
+    // snapshot commit — readers never see a build mid-flight.
+    // (Earlier rounds wrote a dictionary partial per chunk and merged the
+    // partials here; measured head-to-head, the 8 extra jobs' parquet
+    // round-trips cost more wall AND more CPU than this single pruned
+    // scan, at every parallelism level.)
     val version = buildVersion
     val dict = phase("dict-write") {
-      val partial = spark.read.option("basePath", s"$dir/dictparts").parquet(
-        chunks.map(c => s"$dir/dictparts/chunk=${chunkId(c)}"): _*)
-      val merged = partial.groupBy($"term").agg(
-        sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"),
-        max($"maxTf").cast("int").as("maxTf"), min($"minDl").cast("int").as("minDl"))
-        .as[DictEntry]
+      val merged = IndexBuilder.dictFromBlocks(spark,
+        SegmentCatalog.readBlockChunks(spark, dir, chunks.map(chunkId)))
       SegmentCatalog.writeDict(merged, dir, version)
       SegmentCatalog.readDictVersion(spark, dir, version)
     }
