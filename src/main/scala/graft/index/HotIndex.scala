@@ -32,6 +32,30 @@ final class HotIndex private (
 
   def stats: IndexStats = ix.stats
 
+  /** Build the kernel filter from serving-side id sets, enforcing the
+    * closure-size guard: these arrays ship with EVERY job closure, so they
+    * are meant for the "small live set" regime — a caller holding 10⁷
+    * tombstones must compact (the durable path) instead of silently
+    * serializing them into each query. */
+  private def mkFilter(allow: Array[Long], deny: Array[Long]): Wand.DocFilter = {
+    require(deny.length <= HotIndex.FilterSetCap,
+      s"deny set of ${deny.length} docIds exceeds the serving closure cap " +
+      s"(${HotIndex.FilterSetCap}); compact() the index instead of shipping " +
+      "tombstones with every query")
+    require(allow == null || allow.length <= HotIndex.FilterSetCap,
+      s"allow set of ${allow.length} docIds exceeds the serving closure cap " +
+      s"(${HotIndex.FilterSetCap}); use the DataFrame path (search with a " +
+      "docFilter predicate) for large metadata filters")
+    if (allow == null && deny.isEmpty) Wand.DocFilter.All
+    else {
+      val a = new java.util.HashSet[java.lang.Long]()
+      if (allow != null) allow.foreach(a.add(_))
+      val d = new java.util.HashSet[java.lang.Long]()
+      deny.foreach(d.add(_))
+      new Wand.DocFilter(allow == null, a, d)
+    }
+  }
+
   /** Exact top-k BM25, rank-identical to [[InvertedIndex.search]]:
     * (score desc, docId asc).
     * @param deny tombstoned docIds excluded from results (the serving-path
@@ -41,22 +65,60 @@ final class HotIndex private (
   def search(query: String, k: Int, deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] =
     searchAll(Seq((0, query)), k, deny).headOption.map(_._2).getOrElse(Array.empty)
 
+  /** Accept-list serving twin of [[InvertedIndex.search]] with a docFilter:
+    * only docIds in `allow` (minus `deny`) are scored. The caller resolves
+    * its metadata predicate to ids once (e.g. from a driver-held doc map);
+    * large predicates belong on the DataFrame path. */
+  def searchFiltered(query: String, k: Int, allow: Array[Long],
+                     deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] =
+    runTopK(Seq((0, query)), k, mkFilter(allow, deny), null)
+      .headOption.map(_._2).getOrElse(Array.empty)
+
+  /** Pagination serving twin of [[InvertedIndex.searchAfter]]: exact top-k
+    * among docs ranking strictly after (afterScore, afterDocId). */
+  def searchAfter(query: String, k: Int, afterScore: Double, afterDocId: Long,
+                  deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] =
+    runTopK(Seq((0, query)), k, mkFilter(null, deny),
+      ScoredDoc(afterDocId, afterScore)).headOption.map(_._2).getOrElse(Array.empty)
+
+  /** Threshold serving twin of [[InvertedIndex.searchThreshold]]: ALL docs
+    * with score >= tau, (score desc, docId asc). Same block-max skip
+    * machinery with θ pinned to τ. */
+  def searchThreshold(query: String, tau: Double,
+                      deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] = {
+    val plan = ix.queryPlanFor(query)
+    if (plan.isEmpty) return Array.empty
+    val filter = mkFilter(null, deny)
+    val avgdl = ix.stats.avgdl
+    val perPart: Array[Array[ScoredDoc]] =
+      ix.spark.sparkContext.runJob(parts,
+        (it: Iterator[java.util.HashMap[String, Array[Block]]]) =>
+          if (!it.hasNext) Array.empty[ScoredDoc]
+          else {
+            val termBlocks = HotIndex.planBlocks(plan, it.next())
+            Wand.threshold(termBlocks, tau, avgdl, filter).toArray
+          })
+    val all = perPart.flatten
+    scala.util.Sorting.stableSort(all,
+      (x: ScoredDoc, y: ScoredDoc) =>
+        x.score > y.score || (x.score == y.score && x.docId < y.docId))
+    all
+  }
+
   /** Batch serving: ONE job scores every query against each partition's
     * term map (shared scan, jvector SiftSmall.java:92-113 parallel batch
     * analog); returns per-query exact top-k. */
   def searchAll(queries: Seq[(Int, String)], k: Int,
-                deny: Array[Long] = Array.emptyLongArray): Seq[(Int, Array[ScoredDoc])] = {
+                deny: Array[Long] = Array.emptyLongArray): Seq[(Int, Array[ScoredDoc])] =
+    runTopK(queries, k, mkFilter(null, deny), null)
+
+  private def runTopK(queries: Seq[(Int, String)], k: Int,
+                      filter: Wand.DocFilter,
+                      after: ScoredDoc): Seq[(Int, Array[ScoredDoc])] = {
     val plans = queries.map { case (qid, q) => (qid, ix.queryPlanFor(q)) }
     if (k <= 0 || plans.forall(_._2.isEmpty)) return plans.map(p => (p._1, Array.empty[ScoredDoc]))
     val avgdl = ix.stats.avgdl
     val kk = k
-    val filter =
-      if (deny.isEmpty) Wand.DocFilter.All
-      else {
-        val d = new java.util.HashSet[java.lang.Long]()
-        deny.foreach(d.add(_))
-        new Wand.DocFilter(true, new java.util.HashSet(), d)
-      }
     val perPart: Array[Seq[(Int, Array[ScoredDoc])]] =
       ix.spark.sparkContext.runJob(parts,
         (it: Iterator[java.util.HashMap[String, Array[Block]]]) =>
@@ -64,10 +126,8 @@ final class HotIndex private (
           else {
             val m = it.next()
             plans.map { case (qid, plan) =>
-              val termBlocks = plan.toSeq.sortBy(_._1).flatMap { case (t, (idf, ub)) =>
-                Option(m.get(t)).map(bs => (idf, ub, bs))
-              }
-              (qid, Wand.topK(termBlocks, kk, avgdl, filter))
+              (qid, Wand.topK(HotIndex.planBlocks(plan, m), kk, avgdl, filter,
+                after = after))
             }
           })
     // tiny driver merge: numPartitions × k candidates per query, grouped
@@ -87,6 +147,19 @@ final class HotIndex private (
 }
 
 object HotIndex {
+  /** Max docIds a serving-path allow/deny array may hold: ~8 MB of longs,
+    * serialized into EVERY query's job closure. Larger sets must go
+    * through compaction (deny) or the DataFrame path (allow). */
+  val FilterSetCap = 1000000
+
+  /** One query's (idf, ub, blocks) list from a partition's term map —
+    * shared by every serving kernel. */
+  private[index] def planBlocks(plan: Map[String, (Double, Double)],
+      m: java.util.HashMap[String, Array[Block]]): Seq[(Double, Double, Array[Block])] =
+    plan.toSeq.sortBy(_._1).flatMap { case (t, (idf, ub)) =>
+      Option(m.get(t)).map(bs => (idf, ub, bs))
+    }
+
   /** Materialize the serving cache: one `term -> firstDocId-sorted blocks`
     * map per partition, built from the shard-partitioned block Dataset and
     * pinned in executor memory. */

@@ -292,7 +292,8 @@ final case class InvertedIndex(
     * passes through byte-identical. Block-max metadata is integer
     * (maxTf, minDl), so the new avgdl never forces a stats-driven rewrite. */
   def compact(tombstones: Dataset[Long],
-              metrics: InvertedIndex.CompactMetrics = null): InvertedIndex = {
+              metrics: InvertedIndex.CompactMetrics = null,
+              broadcastCap: Int = InvertedIndex.CompactBroadcastCap): InvertedIndex = {
     val newDocs = docs.join(tombstones.toDF("docId"), Seq("docId"), "left_anti")
       .as[DocMeta].persist()
     val nd = newDocs.count()
@@ -302,34 +303,33 @@ final case class InvertedIndex(
       .as[DocMeta].map(d => (d.shard, d.docId))
     val accPass = spark.sparkContext.longAccumulator("compact.passthrough")
     val accRewrite = spark.sparkContext.longAccumulator("compact.rewritten")
-    val newBlocks = blocks.groupByKey(_.shard)
-      .cogroup(deadByShard.groupByKey(_._1)) { (_, bIt, dIt) =>
-        val dead = dIt.map(_._2).toArray
-        java.util.Arrays.sort(dead)
-        if (dead.isEmpty) bIt.map { b => accPass.add(1); b }
-        else {
-          // first dead id >= lo, then check it is <= hi
-          def intersects(lo: Long, hi: Long): Boolean = {
-            var a = 0; var b = dead.length
-            while (a < b) { val m = (a + b) >>> 1; if (dead(m) < lo) a = m + 1 else b = m }
-            a < dead.length && dead(a) <= hi
-          }
-          bIt.flatMap { b =>
-            if (!intersects(b.firstDocId, b.lastDocId)) { accPass.add(1); Iterator(b) }
-            else {
-              accRewrite.add(1)
-              val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
-              val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
-              val dls = graft.core.Codec.decodeTfs(b.dlBytes)
-              val keep = ids.indices.filter(i =>
-                java.util.Arrays.binarySearch(dead, ids(i)) < 0)
-              if (keep.isEmpty) Iterator.empty
-              else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
-                keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray))
-            }
-          }
+    // hybrid dead-set distribution: the usual case (a deletion batch far
+    // smaller than the corpus) broadcasts per-shard sorted dead arrays and
+    // rewrites blocks in a NARROW map — zero exchange of the block table.
+    // Only a dead set too big to broadcast pays the shard cogroup, which
+    // stays the correct 100 TB shape (each task sees only its shard's
+    // dead ids, no driver state).
+    val newBlocks =
+      if (tombstones.limit(broadcastCap + 1).count() <= broadcastCap) {
+        val deadMap = deadByShard.collect().groupBy(_._1).map { case (s, arr) =>
+          val a = arr.map(_._2); java.util.Arrays.sort(a); s -> a
         }
-      }.persist()
+        val deadB = spark.sparkContext.broadcast(deadMap)
+        blocks.mapPartitions(_.flatMap { b =>
+          InvertedIndex.compactBlock(b,
+            deadB.value.getOrElse(b.shard, Array.emptyLongArray),
+            accPass, accRewrite)
+        })
+      } else {
+        blocks.groupByKey(_.shard)
+          .cogroup(deadByShard.groupByKey(_._1)) { (_, bIt, dIt) =>
+            val dead = dIt.map(_._2).toArray
+            java.util.Arrays.sort(dead)
+            if (dead.isEmpty) bIt.map { b => accPass.add(1); b }
+            else bIt.flatMap(InvertedIndex.compactBlock(_, dead, accPass, accRewrite))
+          }
+      }
+    newBlocks.persist()
     val newDict = IndexBuilder.dictFromBlocks(spark, newBlocks)
     if (metrics != null) { // force once so the accumulators are final
       newBlocks.count()
@@ -362,9 +362,28 @@ final case class InvertedIndex(
       stats = stats,
       // rewrite onto an existing table must carry the streaming replay
       // mark and docId allocation high-water mark FORWARD — a compaction
-      // shrinks numDocs, never the id space or the batch history
+      // shrinks numDocs, never the id space or the batch history. The
+      // mark is derived from the DATA (max surviving docId + 1), not
+      // numDocs: compacting into a FRESH dir has no parent snapshot, and
+      // its numDocs undercounts a sparse id space — a later append would
+      // re-issue surviving ids, breaking the disjoint-range invariant
+      // prepared/HotIndex co-location relies on
       maxStreamBatch = prev.map(_.maxStreamBatch).getOrElse(-1L),
-      nextDocId = math.max(stats.numDocs, prev.map(_.nextDocId).getOrElse(0L))))
+      streamId = prev.map(_.streamId).getOrElse(""),
+      nextDocId = {
+        val dataHwm =
+          if (stats.numDocs == 0) 0L
+          else docs.agg(max($"docId")).as[Long].head() + 1L
+        math.max(dataHwm, prev.map(_.nextDocId).getOrElse(0L))
+      }))
+  }
+
+  /** Release this index's cached datasets. Call on the OLD index after a
+    * compact/refresh swap — a long-lived serving session that compacts
+    * repeatedly would otherwise accumulate one cached copy of blocks +
+    * dict per generation (no-op on anything not persisted). */
+  def unpersist(): Unit = {
+    docs.unpersist(); blocks.unpersist(); dict.unpersist()
   }
 }
 
@@ -373,6 +392,39 @@ object InvertedIndex {
     * full vocab of a web corpus's head by orders of magnitude (query terms
     * are Zipf-distributed; tail misses fall back to a dict scan). */
   val DefaultHotDictCap = 4000000
+
+  /** Tombstone count up to which [[InvertedIndex.compact]] broadcasts the
+    * per-shard dead arrays (~8 MB of longs at the cap) instead of
+    * cogrouping the whole block table by shard. */
+  val CompactBroadcastCap = 1000000
+
+  /** Rewrite one block against a SORTED dead-id array: pass it through
+    * untouched (no decode) unless its [firstDocId, lastDocId] range
+    * intersects a dead id. Static so both compact paths share it without
+    * capturing the (non-serializable) index in their closures. */
+  private[index] def compactBlock(b: Block, dead: Array[Long],
+      accPass: org.apache.spark.util.LongAccumulator,
+      accRewrite: org.apache.spark.util.LongAccumulator): Iterator[Block] = {
+    // first dead id >= lo, then check it is <= hi
+    def intersects(lo: Long, hi: Long): Boolean = {
+      var a = 0; var b = dead.length
+      while (a < b) { val m = (a + b) >>> 1; if (dead(m) < lo) a = m + 1 else b = m }
+      a < dead.length && dead(a) <= hi
+    }
+    if (dead.isEmpty || !intersects(b.firstDocId, b.lastDocId)) {
+      accPass.add(1); Iterator(b)
+    } else {
+      accRewrite.add(1)
+      val ids = graft.core.Codec.decodeDocIds(b.docBytes, -1L)
+      val tfs = graft.core.Codec.decodeTfs(b.tfBytes)
+      val dls = graft.core.Codec.decodeTfs(b.dlBytes)
+      val keep = ids.indices.filter(i =>
+        java.util.Arrays.binarySearch(dead, ids(i)) < 0)
+      if (keep.isEmpty) Iterator.empty
+      else Iterator(IndexBuilder.encodeBlock(b.term, b.shard,
+        keep.map(ids).toArray, keep.map(tfs).toArray, keep.map(dls).toArray))
+    }
+  }
 
   /** Block-touch counters from one [[InvertedIndex.compact]] run — lets
     * callers (and tests) assert that range skipping passed untouched blocks

@@ -50,7 +50,10 @@ object SegmentCatalog {
 
   /** One immutable table version. `blockChunks`/`docChunks` are chunk-dir
     * ids under blocks/ and docs/; `dictVersion` names dict/v=<n>;
-    * `maxStreamBatch` is the streaming idempotency high-water mark;
+    * `maxStreamBatch` is the streaming idempotency high-water mark, valid
+    * only for the stream identified by `streamId` (a NEW stream restarts
+    * batchIds at 0 — without the identity, its first batches would be
+    * indistinguishable from a replay and silently dropped);
     * `nextDocId` is the docId allocation high-water mark — it only ever
     * grows, so compaction (which shrinks numDocs but NOT the id space)
     * can never cause a later append to re-issue a surviving doc's id. */
@@ -65,7 +68,8 @@ object SegmentCatalog {
       dictVersion: Long,
       stats: IndexStats,
       maxStreamBatch: Long,
-      nextDocId: Long)
+      nextDocId: Long,
+      streamId: String = "")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -77,7 +81,11 @@ object SegmentCatalog {
   def docsChunkPath(dir: String, cid: String): String = s"$dir/docs/chunk=$cid"
   def dictPath(dir: String, v: Long): String = s"$dir/dict/v=$v"
 
-  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+  /** The hint pointer alone, with bounded retries over the delete+rename
+    * fallback window of a concurrent commit on non-clobbering filesystems.
+    * No snapshot-listing fallback — expireSnapshots needs this strictness
+    * (an unswapped orphan snapshot must never be mistaken for current). */
+  def hintVersion(spark: SparkSession, dir: String): Option[Long] = {
     val fs = fsOf(spark, dir)
     val p = hintPath(dir)
     def read(): Option[Long] =
@@ -88,12 +96,33 @@ object SegmentCatalog {
           "UTF-8").trim.toLong)
         finally in.close()
       }
-    // one short retry covers the delete+rename fallback window of a
-    // concurrent commit on non-clobbering filesystems
     read().orElse {
       if (!fs.exists(new Path(s"$dir/catalog"))) None
-      else { Thread.sleep(50); read() }
+      else {
+        var r: Option[Long] = None
+        var i = 0
+        while (r.isEmpty && i < 3) { Thread.sleep(50); r = read(); i += 1 }
+        r
+      }
     }
+  }
+
+  /** Reader-facing resolution: the hint, or — if the hint is unreadable
+    * but committed snapshots exist — the highest snapshot file. The hint
+    * is a best-effort pointer, exactly as in Iceberg's
+    * HadoopTableOperations (findVersion scans when the version-hint read
+    * fails), so a healthy table is never reported absent mid-commit. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    def highestSnap(): Option[Long] = {
+      val cat = new Path(s"$dir/catalog")
+      if (!fs.exists(cat)) None
+      else fs.listStatus(cat).map(_.getPath.getName)
+        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+        .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
+        .maxOption
+    }
+    hintVersion(spark, dir).orElse(highestSnap())
   }
 
   def readSnapshot(spark: SparkSession, dir: String, version: Long): Snapshot = {
@@ -120,7 +149,8 @@ object SegmentCatalog {
       maxStreamBatch = m.get("maxStreamBatch").asLong(),
       nextDocId =
         if (m.has("nextDocId")) m.get("nextDocId").asLong()
-        else m.get("numDocs").asLong()) // pre-field snapshots never compacted
+        else m.get("numDocs").asLong(), // pre-field snapshots never compacted
+      streamId = if (m.has("streamId")) m.get("streamId").asText() else "")
   }
 
   def current(spark: SparkSession, dir: String): Snapshot =
@@ -147,7 +177,7 @@ object SegmentCatalog {
       s""""dictVersion":${snap.dictVersion},"numDocs":${snap.stats.numDocs},""" +
       s""""totalTokens":${snap.stats.totalTokens},"avgdl":${snap.stats.avgdl},""" +
       s""""numShards":${snap.stats.numShards},"maxStreamBatch":${snap.maxStreamBatch},""" +
-      s""""nextDocId":${snap.nextDocId}}"""
+      s""""nextDocId":${snap.nextDocId},"streamId":"${snap.streamId}"}"""
     val sp = snapPath(dir, snap.version)
     val out = fs.create(sp, false) // conflict detection: fails if version exists
     out.write(json.getBytes("UTF-8")); out.close()
@@ -245,22 +275,34 @@ object SegmentCatalog {
   /** Drop all but the `keepLast` most recent COMMITTED snapshots and
     * delete every chunk/dict dir no retained snapshot references (Iceberg
     * expire_snapshots analog). The CURRENT (hint-referenced) version is
-    * always retained — orphan snapshot files with a HIGHER version than
-    * the hint (a commit that crashed before its hint swap) are garbage,
-    * not "most recent", and are expired like any dead snapshot. */
-  def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 1): Unit = {
+    * always retained. Orphan snapshot files with a HIGHER version than
+    * the hint (a commit that crashed before its hint swap) are garbage —
+    * but an above-hint snapshot could also be an IN-FLIGHT commit that
+    * has written snap-<v+1>.json and not yet swapped the hint; deleting
+    * it would leave the soon-to-succeed hint pointing at a missing file.
+    * So above-hint snapshots are only expired once older than
+    * `orphanGraceMs` (any live committer swaps its hint well within the
+    * grace window; a crashed one never will). The hint read here is
+    * strict — the reader-facing highest-snapshot fallback must not
+    * promote the very orphans this method exists to delete. */
+  def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 1,
+                      orphanGraceMs: Long = 3600000L): Unit = {
     val fs = fsOf(spark, dir)
-    val cur = currentVersion(spark, dir).getOrElse(return)
+    val cur = hintVersion(spark, dir).getOrElse(return)
     val all = listSnapshots(spark, dir)
     val committed = all.filter(_.version <= cur)
     val kept = committed.takeRight(math.max(1, keepLast))
     val keptV = kept.map(_.version).toSet
     require(keptV.contains(cur), s"current v$cur missing from catalog listing")
+    val nowMs = System.currentTimeMillis()
     val dead = all.filterNot(s => keptV.contains(s.version))
+      .filter(s => s.version <= cur || nowMs - s.tsMs >= orphanGraceMs)
     if (dead.isEmpty) return
-    val keepB = kept.flatMap(_.blockChunks).toSet
-    val keepD = kept.flatMap(_.docChunks).toSet
-    val keepDict = kept.map(_.dictVersion).toSet
+    // grace-protected in-flight snapshots keep their chunks too
+    val prot = kept ++ all.filter(s => s.version > cur && nowMs - s.tsMs < orphanGraceMs)
+    val keepB = prot.flatMap(_.blockChunks).toSet
+    val keepD = prot.flatMap(_.docChunks).toSet
+    val keepDict = prot.map(_.dictVersion).toSet
     dead.foreach { s =>
       s.blockChunks.filterNot(keepB).foreach(c =>
         fs.delete(new Path(blocksChunkPath(dir, c)), true))

@@ -18,6 +18,11 @@ import graft.core.{Codec, DoubleTopK, Text}
   */
 object Wand {
 
+  /** Debug tracing (-Dwand.trace at JVM start). Read ONCE at class load
+    * into a static final — a per-iteration sys.props lookup inside the
+    * skip loop would defeat JIT hoisting on the hot path. */
+  private final val Trace = sys.props.contains("wand.trace")
+
   /** Per-term cursor over score-sorted blocks (firstDocId ascending).
     * Block payloads decode lazily: `shallowTo` moves over block metadata
     * only; decode happens on first deep access. */
@@ -191,7 +196,7 @@ object Wand {
           }
           // advance everything below target (the pivot cursor is < target,
           // so at least one cursor moves: guaranteed progress)
-          if (sys.props.get("wand.trace").isDefined)
+          if (Trace)
             println(s"SKIP pivot=$pivotDoc target=$target bmSum=$bmSum theta=$theta curDocs=${cursors.map(_.curDoc).mkString(",")}")
           var j3 = 0
           while (j3 < order.length) {
@@ -223,7 +228,7 @@ object Wand {
                 if (cursors(j5).curDoc == pivotDoc) s += cursors(j5).score
                 j5 += 1
               }
-              if (sys.props.get("wand.trace").isDefined)
+              if (Trace)
                 println(s"SCORE doc=$pivotDoc s=$s theta=$theta")
               if (after == null || s < after.score ||
                   (s == after.score && pivotDoc > after.docId))

@@ -201,10 +201,12 @@ object Dedup {
     val assigned = unit.as[(Long, Seq[Double], Seq[Double])].map { case (k, v, u) =>
       val (c, d2) = Ann.nearestCentroidDist(u.toArray, cB.value)
       (k, c, math.sqrt(d2), v)
-    }.toDF("k", "c", "dist", "v")
-    // NOT persisted: assignment is a cheap deterministic map over the
-    // corpus, and a library-held cache would leak for the session's
-    // lifetime; at scale callers persist the assignment explicitly
+    }.toDF("k", "c", "dist", "v").persist()
+    // persisted for the SCOPE OF THIS CALL only: the radii agg plus both
+    // join sides would otherwise recompute the nearest-centroid pass 3×
+    // over the full corpus (round-2 verdict). The result is forced below
+    // and the cache released before returning — nothing leaks past the
+    // call.
     // per-cluster radius (tiny agg: kCenters rows)
     val radii = new Array[Double](centroids.length)
     assigned.groupBy(col("c")).agg(max(col("dist")).as("r"))
@@ -236,10 +238,14 @@ object Dedup {
     val pairsDF = directed.toSeq.toDF("ca", "cb")
     val a = assigned.select(col("k").as("a"), col("c").as("ca"), col("v").as("va"))
     val b = assigned.select(col("k").as("b"), col("c").as("cb"), col("v").as("vb"))
-    a.join(broadcast(pairsDF), "ca").join(b, "cb")
+    val out = a.join(broadcast(pairsDF), "ca").join(b, "cb")
       .filter(col("a") < col("b"))
       .withColumn("sim", pairSim)
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), col("sim"))
+      .persist()
+    out.count() // force through the cached assignment, then release it
+    assigned.unpersist()
+    out // small (qualifying pairs only); callers may unpersist when done
   }
 }

@@ -42,7 +42,11 @@ object StreamingIndex {
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch.sparkSession, batch, dir, opts, batchId)
+        // the checkpoint dir IS the stream identity: batchIds are scoped
+        // to it (same checkpoint resumes the sequence; a new checkpoint
+        // restarts at 0)
+        appendBatch(batch.sparkSession, batch, dir, opts, batchId,
+          streamId = checkpoint)
       }
       .start()
 
@@ -52,11 +56,19 @@ object StreamingIndex {
     *   before the snapshot commit (the replay-safety injection point). */
   def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
                   opts: IndexBuilder.Options, batchId: Long,
-                  failBeforeCommit: Boolean = false): Unit = {
+                  failBeforeCommit: Boolean = false,
+                  streamId: String = ""): Unit = {
     import spark.implicits._
     if (batch.isEmpty) return
     val snap = SegmentCatalog.current(spark, dir)
-    if (batchId <= snap.maxStreamBatch) return // committed replay: skip
+    // committed replay: skip — but only for the SAME stream. A new stream
+    // (fresh checkpoint) restarts batchIds at 0; without the identity its
+    // first maxStreamBatch+1 batches of genuinely new data would be
+    // indistinguishable from a replay and silently dropped (round-2
+    // ADVICE). Shard-id reuse across streams is safe: docIds come from
+    // the monotone nextDocId high-water mark, so two chunks sharing a
+    // shard id still have disjoint, sorted block docId ranges.
+    if (streamId == snap.streamId && batchId <= snap.maxStreamBatch) return
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     // version-scoped chunk id: a replayed batch recomputes the SAME id
     // (same parent snapshot), while chunks referenced by other snapshots
@@ -141,7 +153,7 @@ object StreamingIndex {
       blockChunks = snap.blockChunks :+ cid,
       docChunks = snap.docChunks :+ cid,
       stats = newStats, maxStreamBatch = batchId,
-      nextDocId = baseDocs + batchDocs))
+      nextDocId = baseDocs + batchDocs, streamId = streamId))
     // invalidate this session's cached listings of the (reused) table roots
     Seq("blocks", "docs").foreach(p => spark.catalog.refreshByPath(s"$dir/$p"))
   }

@@ -210,6 +210,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(h => !dead.contains(h._1)))
   }
 
+  test("hybrid compaction: broadcast path ≡ cogroup path, and broadcasts don't shuffle blocks") {
+    import spark.implicits._
+    val dead = spark.createDataset(Seq(3L, 4L, 5L, 900L))
+    val mB = new InvertedIndex.CompactMetrics
+    val mC = new InvertedIndex.CompactMetrics
+    val viaBroadcast = index.compact(dead, mB) // small set -> broadcast path
+    val viaCogroup = index.compact(dead, mC, broadcastCap = 0) // force cogroup
+    def blockSet(ix: InvertedIndex) = ix.blocks.collect()
+      .map(b => (b.term, b.shard, b.firstDocId, b.n,
+        b.docBytes.toSeq, b.tfBytes.toSeq, b.dlBytes.toSeq, b.maxTf, b.minDl)).toSet
+    assert(blockSet(viaBroadcast) == blockSet(viaCogroup))
+    assert(mB.rewritten == mC.rewritten && mB.passthrough == mC.passthrough)
+    // the broadcast path rewrites blocks in a NARROW map — no exchange
+    val ex = viaBroadcast.blocks.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty, "broadcast compaction must not shuffle the block table")
+    viaBroadcast.unpersist(); viaCogroup.unpersist()
+  }
+
+  test("fresh-dir save after compaction: nextDocId derives from the data, not numDocs") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-freshdir").toString
+    // kill the LOW docIds so numDocs < max surviving docId (sparse space)
+    val compacted = index.compact(spark.createDataset((0L until 20L).toSeq))
+    compacted.save(outDir) // fresh dir: no parent snapshot to carry the HWM
+    val snap = SegmentCatalog.current(spark, outDir)
+    val maxId = compacted.docs.agg(max($"docId")).as[Long].head()
+    assert(snap.nextDocId == maxId + 1,
+      s"nextDocId=${snap.nextDocId} but max surviving docId=$maxId")
+    assert(snap.nextDocId > snap.stats.numDocs,
+      "regression: nextDocId fell back to numDocs on a sparse id space")
+    compacted.unpersist()
+  }
+
+  test("expire: in-flight above-hint snapshot survives the grace window; stale orphan dies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-grace").toString
+    index.save(dir) // v1
+    val snap = SegmentCatalog.current(spark, dir)
+    // simulate a commit that crashed before its hint swap: commit v2 (which
+    // swaps the hint), then roll the hint back to v1
+    SegmentCatalog.commit(spark, dir, snap.copy(
+      version = 2L, parent = 1L, op = "rewrite", tsMs = System.currentTimeMillis()))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val hint = new org.apache.hadoop.fs.Path(s"$dir/catalog/version-hint.text")
+    val out = fs.create(hint, true); out.write("1".getBytes("UTF-8")); out.close()
+    assert(SegmentCatalog.hintVersion(spark, dir).contains(1L))
+    // fresh orphan: the default grace window protects the possibly-in-flight
+    // commit (its hint swap may still be coming) — nothing is deleted
+    SegmentCatalog.expireSnapshots(spark, dir, keepLast = 1)
+    assert(SegmentCatalog.listSnapshots(spark, dir).map(_.version) == Seq(1L, 2L))
+    // stale orphan (grace elapsed): deleted; the current table is intact
+    SegmentCatalog.expireSnapshots(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(SegmentCatalog.listSnapshots(spark, dir).map(_.version) == Seq(1L))
+    assert(InvertedIndex.load(spark, dir).search("t0 t1", 5).count() == 5)
+    // hint loss: reader-facing resolution falls back to the highest
+    // committed snapshot instead of declaring the catalog absent
+    fs.delete(hint, false)
+    assert(SegmentCatalog.hintVersion(spark, dir).isEmpty)
+    assert(SegmentCatalog.currentVersion(spark, dir).contains(1L))
+    assert(InvertedIndex.load(spark, dir).search("t0 t1", 5).count() == 5)
+  }
+
   test("resumable build ≡ one-shot build (kill after 2 chunks, resume)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
@@ -351,6 +415,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       tombstones = Some(spark.createDataset(dead.toSeq)))
       .as[(Long, Double)].collect().toSeq
     assert(got == want)
+    hot.close()
+  }
+
+  test("HotIndex serving parity: threshold, searchAfter, filtered — identical to DataFrame path") {
+    import spark.implicits._
+    val hot = HotIndex(index)
+    // threshold parity (incl. with a deny set)
+    val q = "t5 t100 t2000"
+    val tau = engineTopK(q, 10).lift(4).map(_._2).getOrElse(0.5)
+    val gotT = hot.searchThreshold(q, tau).map(sd => (sd.docId, sd.score)).toSeq
+    val wantT = index.searchThreshold(q, tau).as[(Long, Double)]
+      .collect().toSeq.sortBy(r => (-r._2, r._1))
+    assert(gotT == wantT, "threshold serving mismatch")
+    val deadT = gotT.take(2).map(_._1).toArray
+    val gotTD = hot.searchThreshold(q, tau, deny = deadT).map(_.docId)
+    assert(gotTD.intersect(deadT).isEmpty && gotTD.length == gotT.size - 2)
+    // searchAfter parity
+    val page1 = hot.search("t0 t1", 10)
+    val last = page1.last
+    val got2 = hot.searchAfter("t0 t1", 10, last.score, last.docId)
+      .map(sd => (sd.docId, sd.score)).toSeq
+    val want2 = index.searchAfter("t0 t1", 10, last.score, last.docId)
+      .select($"docId", $"score").as[(Long, Double)].collect().toSeq
+    assert(got2 == want2, "searchAfter serving mismatch")
+    assert(page1.map(sd => (sd.docId, sd.score)).toSeq ++ got2 == engineTopK("t0 t1", 20))
+    // filtered (allow-set) parity with the docFilter DataFrame path
+    val allowIds = index.docs.filter($"lang" === "de").select($"docId").as[Long].collect()
+    val gotF = hot.searchFiltered("t1 t2 t3", 10, allowIds)
+      .map(sd => (sd.docId, sd.score)).toSeq
+    val wantF = index.search("t1 t2 t3", 10, docFilter = Some($"lang" === "de"))
+      .select($"docId", $"score").as[(Long, Double)].collect().toSeq
+    assert(gotF == wantF, "filtered serving mismatch")
+    // closure-size guard: an over-cap deny/allow set fails loudly
+    intercept[IllegalArgumentException] {
+      hot.search("t0", 10, deny = new Array[Long](HotIndex.FilterSetCap + 1))
+    }
+    intercept[IllegalArgumentException] {
+      hot.searchFiltered("t0", 10, new Array[Long](HotIndex.FilterSetCap + 1))
+    }
     hot.close()
   }
 

@@ -65,10 +65,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (d, s) =>
       assert(math.abs(s - wantByUrl(urls(d))) < 1e-9)
     }
-    // replayed batch is idempotent: re-append batch 0 -> no change
-    StreamingIndex.appendBatch(spark, toDf(stream1), dir, opts, 0L)
+    // replayed batch is idempotent: re-append batch 0 OF THE SAME STREAM
+    // (the checkpoint dir is the stream identity) -> no change
+    StreamingIndex.appendBatch(spark, toDf(stream1), dir, opts, 0L, streamId = ckpt)
     val ix2 = StreamingIndex.refresh(spark, dir)
     assert(ix2.stats.numDocs == 400)
+  }
+
+  test("a NEW stream (fresh checkpoint) onto an appended index is not mistaken for a replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-newstream").toString
+    val opts = IndexBuilder.Options(numShards = 4, rangePartitions = 4)
+    val all = (0L until 300L).map(i => WebCorpus.page(19L, i))
+    def toDf(ps: Seq[WebCorpus.Page]) =
+      ps.map(p => (p.url, p.text, p.lang)).toDF("url", "text", "lang")
+    ResumableBuild.build(spark, toDf(all.take(200)), dir, opts, numChunks = 2)
+    // stream A appends batches 0 and 1
+    StreamingIndex.appendBatch(spark, toDf(all.slice(200, 230)), dir, opts, 0L, streamId = "ckpt-A")
+    StreamingIndex.appendBatch(spark, toDf(all.slice(230, 260)), dir, opts, 1L, streamId = "ckpt-A")
+    assert(SegmentCatalog.current(spark, dir).stats.numDocs == 260)
+    // replay of A's batch 1 is a no-op
+    StreamingIndex.appendBatch(spark, toDf(all.slice(230, 260)), dir, opts, 1L, streamId = "ckpt-A")
+    assert(SegmentCatalog.current(spark, dir).stats.numDocs == 260)
+    // a NEW stream restarts batchIds at 0 — its genuinely new data must
+    // NOT be dropped as a replay of A's batch 0 (round-2 ADVICE)
+    StreamingIndex.appendBatch(spark, toDf(all.drop(260)), dir, opts, 0L, streamId = "ckpt-B")
+    val ix = StreamingIndex.refresh(spark, dir)
+    assert(ix.stats.numDocs == 300, "new stream's first batch was dropped")
+    assert(ix.docs.select($"docId").distinct().count() == 300,
+      "docId collision across streams")
+    // B's own replay is now the no-op
+    StreamingIndex.appendBatch(spark, toDf(all.drop(260)), dir, opts, 0L, streamId = "ckpt-B")
+    assert(SegmentCatalog.current(spark, dir).stats.numDocs == 300)
+    // search stays value-correct with shard ids shared across streams
+    // (disjoint docId ranges keep every (term, shard) run valid)
+    val query = "t0 t1 t5"
+    val got = ix.search(query, 10).as[(Long, Double)].collect().toSeq
+    val urls = ix.docs.select($"docId", $"url").as[(Long, String)].collect().toMap
+    val want = BruteForce.topK(spark, toDf(all), "url", "text", Seq((0, query)), 10)
+      .orderBy($"rank").select($"docKey".cast("string"), $"score")
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(g => urls(g._1)) == want.map(_._1))
+    got.zip(want).foreach { case ((_, gs), (_, ws)) => assert(math.abs(gs - ws) < 1e-9) }
   }
 
   test("append crash before snapshot commit: replay is exactly-once (no dup docs, no double-counted stats)") {
