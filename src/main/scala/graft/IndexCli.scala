@@ -115,6 +115,18 @@ object IndexCli {
         println(s"retained ${SegmentCatalog.listSnapshots(spark, args(1)).size} snapshot(s)")
         spark.stop()
 
+      case "gc" =>
+        // remove_orphan_files analog: chunks no snapshot references at all
+        // (crashed writers), with an age guard for in-flight builds
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val graceMs = if (args.length > 2) args(2).toLong else 86400000L
+        val r = SegmentCatalog.removeOrphans(spark, args(1), graceMs)
+        if (r.isEmpty) println("no orphans")
+        else println(s"removed orphans: blocks=${r.blockChunks.mkString(",")} " +
+          s"docs=${r.docChunks.mkString(",")} dicts=${r.dictVersions.mkString(",")}")
+        spark.stop()
+
       case "stats" =>
         val spark = session(cpus)
         spark.sparkContext.setLogLevel("WARN")
@@ -181,5 +193,6 @@ object IndexCli {
       |  stats <indexDir>
       |  snapshots <indexDir>
       |  expire <indexDir> [keepLast]
+      |  gc <indexDir> [graceMs]         (delete chunks no snapshot references)
       |  explain <indexDir> <term> [term...]""".stripMargin)
 }

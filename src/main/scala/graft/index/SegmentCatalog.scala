@@ -272,6 +272,68 @@ object SegmentCatalog {
       .sorted.map(readSnapshot(spark, dir, _))
   }
 
+  /** What [[removeOrphans]] deleted (or would delete, when dryRun). */
+  final case class OrphanReport(blockChunks: Seq[String], docChunks: Seq[String],
+                                dictVersions: Seq[Long]) {
+    def isEmpty: Boolean =
+      blockChunks.isEmpty && docChunks.isEmpty && dictVersions.isEmpty
+  }
+
+  /** Delete chunk/dict dirs referenced by NO snapshot file at all — the
+    * debris of builds/appends that crashed before their commit() (Iceberg
+    * remove_orphan_files analog; expireSnapshots only reaches chunks that
+    * some DEAD snapshot names, so without this a streaming table accretes
+    * unbounded dead storage from crashed writers).
+    *
+    * Safety: a writer's chunks are unreferenced until its final commit, so
+    * only dirs older than `graceMs` are touched — do not run with writers
+    * in flight LONGER than the grace window (same caveat as Iceberg's
+    * older_than). A crashed build's resume state is rebuilt on demand
+    * (resume re-checks the chunk dir's _SUCCESS), so GC costs a resumed
+    * build recomputation, never correctness; the matching manifest lineage
+    * rows are dropped with the chunks. */
+  def removeOrphans(spark: SparkSession, dir: String,
+                    graceMs: Long = 86400000L,
+                    dryRun: Boolean = false): OrphanReport = {
+    val fs = fsOf(spark, dir)
+    val snaps = listSnapshots(spark, dir)
+    val liveB = snaps.flatMap(_.blockChunks).toSet
+    val liveD = snaps.flatMap(_.docChunks).toSet
+    val liveDict = snaps.map(_.dictVersion).toSet
+    val nowMs = System.currentTimeMillis()
+    def orphansUnder(sub: String, prefix: String,
+                     live: String => Boolean): Seq[(String, Path)] = {
+      val root = new Path(s"$dir/$sub")
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(st => (st.getPath.getName.stripPrefix(prefix), st))
+        .filter { case (id, st) =>
+          !live(id) && nowMs - st.getModificationTime >= graceMs }
+        .map { case (id, st) => (id, st.getPath) }
+    }
+    val ob = orphansUnder("blocks", "chunk=", liveB)
+    val od = orphansUnder("docs", "chunk=", liveD)
+    val odict = orphansUnder("dict", "v=",
+      id => id.toLongOption.forall(liveDict)) // unparseable -> keep
+    if (!dryRun) {
+      (ob ++ od ++ odict).foreach { case (_, p) => fs.delete(p, true) }
+      // drop the dead chunks' manifest lineage rows (bulk builds name
+      // theirs v<V>-chunk-<c>.json for chunk id v<V>-<c>; streaming
+      // appends name theirs chunk-<cid>.json)
+      ob.map(_._1).foreach { cid =>
+        val i = cid.lastIndexOf('-')
+        val bulk =
+          if (i > 0) Some(new Path(s"$dir/manifest/${cid.substring(0, i)}-chunk-${cid.substring(i + 1)}.json"))
+          else None
+        (bulk.toSeq :+ new Path(s"$dir/manifest/chunk-$cid.json"))
+          .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+      }
+    }
+    OrphanReport(ob.map(_._1), od.map(_._1),
+      odict.map(_._1).flatMap(_.toLongOption))
+  }
+
   /** Drop all but the `keepLast` most recent COMMITTED snapshots and
     * delete every chunk/dict dir no retained snapshot references (Iceberg
     * expire_snapshots analog). The CURRENT (hint-referenced) version is

@@ -274,6 +274,42 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(InvertedIndex.load(spark, dir).search("t0 t1", 5).count() == 5)
   }
 
+  test("orphan GC: crashed build's chunks die, everything any snapshot references survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val opts = IndexBuilder.Options(numShards = 8, rangePartitions = 8)
+    val small = WebCorpus.generate(spark, 300, seed = 23L, partitions = 8)
+    // crash a build mid-write: chunks v1-0, v1-1 (+ docs chunk) exist,
+    // referenced by NO snapshot
+    intercept[RuntimeException] {
+      ResumableBuild.build(spark, small, dir, opts, numChunks = 4, failAfterChunks = Some(2))
+    }
+    // a different writer commits v1 with its own chunks (op=save, cid=w1)
+    index.save(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    assert(exists(SegmentCatalog.blocksChunkPath(dir, "v1-0")), "precondition: orphan exists")
+    // fresh orphans survive the default grace window (an in-flight writer
+    // looks exactly like this)
+    assert(SegmentCatalog.removeOrphans(spark, dir).isEmpty)
+    // dry run reports but deletes nothing
+    val dry = SegmentCatalog.removeOrphans(spark, dir, graceMs = 0L, dryRun = true)
+    assert(dry.blockChunks.toSet == Set("v1-0", "v1-1") &&
+      dry.docChunks == Seq("v1-docs"), s"dry=$dry")
+    assert(exists(SegmentCatalog.blocksChunkPath(dir, "v1-0")))
+    // real GC past the grace window: orphans + their manifests gone
+    val r = SegmentCatalog.removeOrphans(spark, dir, graceMs = 0L)
+    assert(r.blockChunks.toSet == Set("v1-0", "v1-1"))
+    assert(!exists(SegmentCatalog.blocksChunkPath(dir, "v1-0")))
+    assert(!exists(SegmentCatalog.docsChunkPath(dir, "v1-docs")))
+    assert(!exists(s"$dir/manifest/v1-chunk-0.json"))
+    // the committed snapshot's chunks are intact and the table still serves
+    assert(exists(SegmentCatalog.blocksChunkPath(dir, "w1")))
+    assert(InvertedIndex.load(spark, dir).search("t0 t1", 5).count() == 5)
+    // and a re-run finds nothing left
+    assert(SegmentCatalog.removeOrphans(spark, dir, graceMs = 0L).isEmpty)
+  }
+
   test("resumable build ≡ one-shot build (kill after 2 chunks, resume)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
