@@ -118,7 +118,15 @@ object GateOps {
     * (recall measured in AnnSpec). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val ivf = Ann.buildIvf(spark, emb, "vec_id", "embedding", kCenters = 8, iters = 2)
+    val built = Ann.buildIvf(spark, emb, "vec_id", "embedding", kCenters = 8, iters = 2)
+    // persistence round-trip ON the gate: the query serves from the saved
+    // artifact (cluster-partitioned parquet + centroid JSON), not the
+    // session-built assignment — Jackson doubles round-trip bit-exactly,
+    // so the oracle hash is unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.saveIvf(spark, built, dir)
+    built.assigned.unpersist()
+    val ivf = Ann.loadIvf(spark, dir)
     ranked(Ann.ivfTopK(ivf, queryVec(spark, sfDir, 1), 10, nProbe = 8), asc = false)
   }
 
@@ -127,8 +135,12 @@ object GateOps {
     * rerankFactor is the production knob (recall measured in OpsSpec). */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val model = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 3)
-    val codes = Pq.encode(spark, emb, "vec_id", "embedding", model)
+    val model0 = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 3)
+    val codes0 = Pq.encode(spark, emb, "vec_id", "embedding", model0)
+    // persistence round-trip ON the gate (see annIvf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Pq.save(spark, model0, codes0, dir)
+    val (model, codes) = Pq.load(spark, dir)
     val nAll = emb.count()
     val res = Pq.topK(spark, codes, emb, "vec_id", "embedding", model,
       queryVec(spark, sfDir, 2), 10,

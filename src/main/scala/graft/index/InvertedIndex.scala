@@ -243,7 +243,8 @@ final case class InvertedIndex(
     * q) — blocks never replicate to queries that don't contain their term,
     * and no per-query driver work exists at all. Scores are computed with
     * the same kernels as [[search]], so results are value-identical. */
-  def searchMany(queries: Dataset[(Int, String)], k: Int): DataFrame = {
+  def searchMany(queries: Dataset[(Int, String)], k: Int,
+                 pruneTermCap: Int = InvertedIndex.SearchManyPruneCap): DataFrame = {
     if (k <= 0) return spark.emptyDataset[(Int, Long, Double)]
       .toDF("queryId", "docId", "score")
     val n = stats.numDocs
@@ -252,6 +253,17 @@ final case class InvertedIndex(
     val qterms = queries.flatMap { case (qid, q) =>
       Text.tokenize(q).distinct.map(t => (qid, t))
     }.toDF("queryId", "qterm")
+    // small-query-log fast path: when the batch's distinct term set fits
+    // the cap, collect it once and (a) push the SAME bucket+term isin
+    // filters into the block scan that the single-query path uses —
+    // parquet row-group/page pruning, so the scan never reads postings of
+    // terms outside the log — and (b) broadcast the tiny qplan join side,
+    // so candidate blocks don't shuffle for the equi-join. An over-cap
+    // log skips the collect and keeps the pure shuffle-join shape.
+    val distinctTerms = qterms.select($"qterm").distinct()
+      .limit(pruneTermCap + 1).as[String].collect()
+    val small = distinctTerms.length <= pruneTermCap
+    val blocksSrc = if (small) candidateBlocks(distinctTerms.toIndexedSeq) else blocks
     val qplan = qterms
       .join(dict.toDF(), $"qterm" === $"term")
       .select($"queryId", $"term", $"df", $"maxTf", $"minDl")
@@ -260,8 +272,9 @@ final case class InvertedIndex(
         val idf = Text.idf(df, n)
         (qid, t, idf, idf * Text.tfPartial(maxTf, minDl.toLong, avgdl))
       }.toDF("queryId", "term", "idf", "ub")
-    val cand = blocks.joinWith(qplan.as[(Int, String, Double, Double)],
-      blocks("term") === qplan("term"))
+    val qplanSide = if (small) broadcast(qplan) else qplan
+    val cand = blocksSrc.joinWith(qplanSide.as[(Int, String, Double, Double)],
+      blocksSrc("term") === qplanSide("term"))
     cand.groupByKey { case (b, p) => (p._1, b.shard) }
       .flatMapGroups { (key: (Int, Int),
                         it: Iterator[(Block, (Int, String, Double, Double))]) =>
@@ -392,6 +405,11 @@ object InvertedIndex {
     * full vocab of a web corpus's head by orders of magnitude (query terms
     * are Zipf-distributed; tail misses fall back to a dict scan). */
   val DefaultHotDictCap = 4000000
+
+  /** Distinct-term count up to which [[InvertedIndex.searchMany]] collects
+    * the query log's term set for scan pushdown + a broadcast plan join.
+    * Sized so the isin literal list stays cheap to plan (~1k strings). */
+  val SearchManyPruneCap = 1024
 
   /** Tombstone count up to which [[InvertedIndex.compact]] broadcasts the
     * per-shard dead arrays (~8 MB of longs at the cap) instead of

@@ -137,6 +137,50 @@ object Ann {
     Ivf(assigned.persist(), centroids)
   }
 
+  /** Persist an IVF index: centroids as format-versioned JSON, the
+    * assignment parquet PARTITIONED BY cluster id — so a loaded index's
+    * probe filter (`c IN (...)`) prunes whole partition directories at
+    * the file level, the real 10^12-vector serving layout (a session-only
+    * assignment re-runs k-means + a full corpus pass per session). */
+  def saveIvf(spark: SparkSession, ivf: Ivf, dir: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", Pq.FormatVersion)
+    root.set("centroids", mapper.valueToTree(ivf.centroids)
+      : com.fasterxml.jackson.databind.JsonNode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.centroids.json.tmp")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids.json")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(root)); out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"centroid publish failed at $p")
+    }
+    ivf.assigned.write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned")
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): Ivf = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/centroids.json"))
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val v = if (m.has("formatVersion")) m.get("formatVersion").asLong() else 0L
+    require(v <= Pq.FormatVersion, s"unsupported IVF format v$v")
+    val cn = m.get("centroids")
+    val centroids = Array.tabulate(cn.size()) { c =>
+      val cent = cn.get(c)
+      Array.tabulate(cent.size())(cent.get(_).asDouble())
+    }
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("key"), col("c").cast("int").as("c"), col("v"))
+    Ivf(assigned, centroids)
+  }
+
   /** IVF search: probe the nProbe nearest clusters only (partition pruning
     * via the cluster filter; with the corpus written partitionBy("c") this
     * is file-level pruning). nProbe == kCenters degrades to exact. */

@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** On-disk format of a saved quantizer (model.json + codes parquet). */
+  val FormatVersion = 1L
+
   /** Trained product quantizer: codebooks(sub)(code) = centroid of the
     * sub-th subspace (length dim/m). */
   final case class Model(m: Int, dim: Int, codebooks: Array[Array[Array[Double]]]) {
@@ -145,6 +148,65 @@ object Pq {
       .map { case (k, v) => (k, mB.value.encodeOne(v.toArray)) }
       .toDF("key", "code")
   }
+
+  /** Persist a trained quantizer + its encoded corpus (the reference
+    * persists both too: jvector pq/PQVectors.java:52-93 write/load, with
+    * the codebooks in the header) — without this every query session
+    * retrains and re-encodes the corpus. Layout under `dir`:
+    * `model.json` (format-versioned codebooks; small: m·codes·(dim/m)
+    * doubles) and `codes/` (parquet (key, code), the 4·d/m-compressed
+    * corpus representation). */
+  def save(spark: SparkSession, model: Model, codes: DataFrame, dir: String): Unit = {
+    saveModel(spark, model, dir)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def saveModel(spark: SparkSession, model: Model, dir: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
+    root.put("m", model.m)
+    root.put("dim", model.dim)
+    root.set("codebooks", mapper.valueToTree(model.codebooks)
+      : com.fasterxml.jackson.databind.JsonNode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.model.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(root)); out.close()
+    if (!fs.rename(tmp, p)) { // atomic publish; clobber-refusing FS fallback
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"model publish failed at $p")
+    }
+  }
+
+  def loadModel(spark: SparkSession, dir: String): Model = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/model.json"))
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val v = if (m.has("formatVersion")) m.get("formatVersion").asLong() else 0L
+    require(v <= FormatVersion, s"unsupported PQ model format v$v")
+    val cbNode = m.get("codebooks")
+    val codebooks = Array.tabulate(cbNode.size()) { s =>
+      val sub = cbNode.get(s)
+      Array.tabulate(sub.size()) { c =>
+        val cent = sub.get(c)
+        Array.tabulate(cent.size())(cent.get(_).asDouble())
+      }
+    }
+    Model(m.get("m").asInt(), m.get("dim").asInt(), codebooks)
+  }
+
+  def loadCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes").select(col("key"), col("code"))
+
+  def load(spark: SparkSession, dir: String): (Model, DataFrame) =
+    (loadModel(spark, dir), loadCodes(spark, dir))
 
   /** Approximate top-k by ADC over the compressed codes, then EXACT
     * squared-L2 rerank of the k·rerankFactor survivors against the

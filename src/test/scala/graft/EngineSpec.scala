@@ -419,6 +419,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planStr.contains("PushedFilters: [In(bucket, ") &&
       planStr.contains("In(term, "),
       s"missing pushdown in plan:\n${planStr.take(2000)}")
+    // searchMany with a small query log gets the SAME pushdown (the log's
+    // distinct term set is collected and applied before the plan join)
+    import spark.implicits._
+    val qs = Seq((0, "t0 t1"), (1, "t5 t7")).toDS()
+    val manyPlan = loaded.searchMany(qs, 10).queryExecution.toString
+    assert(manyPlan.contains("PushedFilters: [In(bucket, ") &&
+      manyPlan.contains("In(term, "),
+      s"searchMany missing scan pushdown:\n${manyPlan.take(2000)}")
+    // results are unchanged by the pruning (and by the over-cap fallback)
+    val got = loaded.searchMany(qs, 10)
+      .select($"queryId", $"docId", $"score").as[(Int, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1, -r._3, r._2))
+    val fallback = loaded.searchMany(qs, 10, pruneTermCap = 0)
+      .select($"queryId", $"docId", $"score").as[(Int, Long, Double)]
+      .collect().toSeq.sortBy(r => (r._1, -r._3, r._2))
+    assert(got == fallback)
+    assert(got.filter(_._1 == 0).map(t => (t._2, t._3)) == engineTopK("t0 t1", 10))
   }
 
   test("catalog commit conflict: same version committed twice fails cleanly") {

@@ -101,6 +101,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == brute, "full-rerank PQ must equal brute force")
   }
 
+  test("PQ persistence: save -> load round-trips the model bit-exactly; format gated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 300L).map { i =>
+      (i, Array.tabulate(16)(_ => rnd.nextFloat()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 5).select($"embedding").as[Seq[Float]].head()
+    val model = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 3)
+    val codes = Pq.encode(spark, emb, "vec_id", "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-persist").toString
+    Pq.save(spark, model, codes, dir)
+    val (loaded, loadedCodes) = Pq.load(spark, dir)
+    // golden: doubles survive the JSON round-trip bit-for-bit
+    assert(loaded.m == model.m && loaded.dim == model.dim)
+    assert(loaded.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    assert(loadedCodes.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap
+      == codes.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap)
+    // query from the loaded artifact == query from the trained one
+    def res(m: Pq.Model, c: org.apache.spark.sql.DataFrame) =
+      Pq.topK(spark, c, emb, "vec_id", "embedding", m, q, 10, rerankFactor = 4)
+        .as[(Long, Double)].collect().toSeq
+    assert(res(loaded, loadedCodes) == res(model, codes))
+    // a future-versioned model must fail loudly, not misparse
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    val json = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val out = fs.create(p, true)
+    out.write(json.replace(s""""formatVersion":${Pq.FormatVersion}""",
+      """"formatVersion":999""").getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] { Pq.loadModel(spark, dir) }
+  }
+
+  test("IVF persistence: loaded index answers identically and probes prune partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(16)(d => (if (d % 8 == c % 8) 5f else 0f) + rnd.nextFloat() * 0.5f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val built = Ann.buildIvf(spark, emb, "vec_id", "embedding", kCenters = 8, iters = 3)
+    val want = Ann.ivfTopK(built, q, 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-persist").toString
+    Ann.saveIvf(spark, built, dir)
+    built.assigned.unpersist()
+    val loaded = Ann.loadIvf(spark, dir)
+    assert(loaded.centroids.flatten.toSeq == built.centroids.flatten.toSeq)
+    val probe = Ann.ivfTopK(loaded, q, 10, nProbe = 2)
+    assert(probe.as[(Long, Double)].collect().toSeq == want)
+    // cluster-partitioned layout: the probe filter reaches the scan as a
+    // PARTITION filter, so unprobed cluster dirs are never even listed in
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("c#"),
+      s"probe filter not pushed to partition pruning:\n${planStr.take(1500)}")
+  }
+
   test("multimodal: payload plumbing shapes and stub decode determinism") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
