@@ -150,13 +150,25 @@ object GateOps {
 
   // ---------- multimodal ----------
 
-  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
-    Multimodal.extractMeta(
-      Multimodal.withPayload(Gate.documents(spark, sfDir), "text"), "doc_id")
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // even doc_id: REAL BMP payload — dimensions derive from the id, so
+    // the SQL oracle independently predicts what the actual header parse
+    // must return (decode(synthesize(w,h)) == (w,h) end-to-end);
+    // odd doc_id: raw text bytes, exercising the documented stub fallback
+    val withPay = Gate.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 2 == 0)
+          (id, Multimodal.syntheticBmp((id % 40 + 1).toInt, (id % 25 + 1).toInt, id))
+        else (id, text.getBytes("UTF-8"))
+      }.toDF("doc_id", "payload")
+    Multimodal.extractMeta(withPay, "doc_id")
       .select(col("key").as("doc_id"), col("n_bytes"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"),
         col("frames").cast("long").as("frames"))
       .orderBy(col("doc_id"))
+  }
 
   // ---------- relational checklist (stock Spark, oracle-checked) ----------
 

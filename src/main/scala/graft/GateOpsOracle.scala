@@ -119,12 +119,20 @@ object GateOpsOracle {
   val annIvf: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 1, asc = false)
   val annPq: String = annSql("list_distance(embedding::DOUBLE[], q.qv)", 2, asc = true)
 
+  // even doc_id: the real BMP header parse must recover the synthesized
+  // dimensions (file size = 54-byte header + height * 4-padded 24bpp row
+  // stride); odd doc_id: the stub formula over the raw text bytes
   val multimodalMeta: String =
     """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-      |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
-      |  CAST(ascii(substr(text, 1, 1)) % 7 + 1 AS BIGINT) AS frames
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN CAST(54 + (doc_id % 25 + 1) * (((doc_id % 40 + 1) * 3 + 3) // 4 * 4) AS BIGINT)
+      |    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 40 + 1 AS BIGINT)
+      |    ELSE CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 25 + 1 AS BIGINT)
+      |    ELSE CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) END AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(ascii(substr(text, 1, 1)) % 7 + 1 AS BIGINT) END AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val relQ1: String =

@@ -6,18 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata structs. The Spark-side machinery
   * (schema, batched per-partition iteration, metadata extraction, frame
-  * sampling signature) is real and tested; the actual media decode is a
-  * STUB — this container has no image/audio codecs, so `decodeStub`
-  * derives deterministic fake dimensions from the payload bytes. Swap
-  * `decodeStub` for a real decoder (e.g. javax.imageio / ffmpeg via a
-  * Pandas-UDF-style batch worker) without touching the plumbing.
+  * sampling signature) is real and tested. Decode is REAL for the formats
+  * a pure JVM can parse with zero external deps — BMP (BITMAPINFOHEADER)
+  * and PCM WAV headers, dispatched by magic bytes — and a loudly-
+  * documented deterministic STUB for everything else (this container
+  * ships no image/audio codecs; swap `decodeStub` for e.g. javax.imageio
+  * / ffmpeg via a Pandas-UDF-style batch worker without touching the
+  * plumbing).
   */
 object Multimodal {
 
   final case class MediaMeta(n_bytes: Long, width: Int, height: Int, frames: Int)
 
   /** STUB decode ??? — deterministic fake: dimensions derived from byte
-    * length and first byte. Replace with a real codec at deploy time. */
+    * length and first byte. Replace with a real codec at deploy time.
+    * Reached only for payloads [[decode]] has no real parser for. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
     val head = if (payload.nonEmpty) payload(0) & 0xFF else 0
@@ -25,6 +28,110 @@ object Multimodal {
       width = (n % 640).toInt + 1,
       height = (n % 480).toInt + 1,
       frames = head % 7 + 1)
+  }
+
+  /** Magic-byte dispatch: real header parse for BMP/WAV, stub otherwise. */
+  def decode(payload: Array[Byte]): MediaMeta =
+    if (isBmp(payload)) decodeBmp(payload)
+    else if (isWav(payload)) decodeWav(payload)
+    else decodeStub(payload)
+
+  private def i32le(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) | ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+  private def u16le(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+
+  def isBmp(p: Array[Byte]): Boolean =
+    p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+
+  /** Real BMP parse (BITMAPINFOHEADER): width int32le @18, height int32le
+    * @22 (negative = top-down rows; dimension is the magnitude). */
+  def decodeBmp(p: Array[Byte]): MediaMeta =
+    MediaMeta(p.length.toLong, width = i32le(p, 18),
+      height = math.abs(i32le(p, 22)), frames = 1)
+
+  def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+  /** Real PCM WAV parse (RIFF chunk walk): width := sample rate,
+    * height := channels, frames := sample frames (data bytes / block
+    * align) — the natural audio analog of the image dimensions. */
+  def decodeWav(p: Array[Byte]): MediaMeta = {
+    var off = 12
+    var channels = 0
+    var sampleRate = 0
+    var blockAlign = 0
+    var dataLen = 0L
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val sz = i32le(p, off + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && off + 24 <= p.length) {
+        channels = u16le(p, off + 10)
+        sampleRate = i32le(p, off + 12)
+        blockAlign = u16le(p, off + 20)
+      } else if (id == "data") dataLen = sz
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    MediaMeta(p.length.toLong, width = sampleRate, height = channels,
+      frames = if (blockAlign == 0) 0 else (dataLen / blockAlign).toInt)
+  }
+
+  /** Deterministic minimal 24bpp BMP (54-byte BITMAPINFOHEADER, rows
+    * padded to 4 bytes) — the test-corpus payload generator for the real
+    * decode path. Size = 54 + h * ((3w + 3) / 4 * 4). */
+  def syntheticBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val stride = (3 * w + 3) / 4 * 4
+    val size = 54 + h * stride
+    val p = new Array[Byte](size)
+    def put32(o: Int, v: Int): Unit = {
+      p(o) = v.toByte; p(o + 1) = (v >> 8).toByte
+      p(o + 2) = (v >> 16).toByte; p(o + 3) = (v >> 24).toByte
+    }
+    p(0) = 'B'.toByte; p(1) = 'M'.toByte
+    put32(2, size); put32(10, 54) // data offset
+    put32(14, 40) // BITMAPINFOHEADER
+    put32(18, w); put32(22, h)
+    p(26) = 1 // planes
+    p(28) = 24 // bpp
+    put32(34, h * stride) // image size
+    var i = 54
+    var x = seed
+    while (i < size) { // xorshift pixel bytes: deterministic, high entropy
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      p(i) = x.toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Deterministic 16-bit PCM WAV with the canonical 44-byte header. */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val p = new Array[Byte](44 + dataLen)
+    def put32(o: Int, v: Int): Unit = {
+      p(o) = v.toByte; p(o + 1) = (v >> 8).toByte
+      p(o + 2) = (v >> 16).toByte; p(o + 3) = (v >> 24).toByte
+    }
+    def put16(o: Int, v: Int): Unit = { p(o) = v.toByte; p(o + 1) = (v >> 8).toByte }
+    def tag(o: Int, s: String): Unit = s.getBytes("US-ASCII").zipWithIndex
+      .foreach { case (b, i) => p(o + i) = b }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1) // PCM
+    put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * blockAlign); put16(32, blockAlign); put16(34, 16)
+    tag(36, "data"); put32(40, dataLen)
+    var i = 44
+    var x = seed
+    while (i < p.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      p(i) = x.toByte
+      i += 1
+    }
+    p
   }
 
   /** Attach a binary payload column (for the gate: the utf-8 text bytes
@@ -41,9 +148,9 @@ object Multimodal {
     docs.select(col(keyCol).as("key"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init hook (real decoder would load its codec here)
+        // per-partition init hook (a heavier codec would load here)
         it.map { case (k, payload) =>
-          val m = decodeStub(payload)
+          val m = decode(payload)
           (k, m.n_bytes, m.width, m.height, m.frames)
         }
       }

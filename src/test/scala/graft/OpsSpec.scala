@@ -175,6 +175,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames(0).head.toSeq == Seq('h'.toByte))
   }
 
+  test("real decode: BMP and WAV headers parse exactly; other payloads hit the stub") {
+    // BMP round-trip: decode(synthesize(w, h)) recovers the dimensions
+    for ((w, h) <- Seq((1, 1), (3, 5), (17, 25), (640, 480))) {
+      val p = Multimodal.syntheticBmp(w, h, seed = w * 1000L + h)
+      assert(Multimodal.isBmp(p) && !Multimodal.isWav(p))
+      val m = Multimodal.decode(p)
+      assert(m.width == w && m.height == h && m.frames == 1,
+        s"BMP ${w}x$h decoded as ${m.width}x${m.height}")
+      assert(m.n_bytes == 54 + h.toLong * ((3 * w + 3) / 4 * 4))
+    }
+    // top-down BMP (negative height) decodes to the magnitude
+    val td = Multimodal.syntheticBmp(8, 6, 1L)
+    td(22) = (-6 & 0xFF).toByte; td(23) = 0xFF.toByte
+    td(24) = 0xFF.toByte; td(25) = 0xFF.toByte
+    assert(Multimodal.decode(td).height == 6)
+    // WAV round-trip: rate/channels/frames recovered from the RIFF walk
+    for ((rate, ch, n) <- Seq((8000, 1, 100), (44100, 2, 4410), (16000, 1, 0))) {
+      val p = Multimodal.syntheticWav(rate, ch, n, seed = rate)
+      assert(Multimodal.isWav(p) && !Multimodal.isBmp(p))
+      val m = Multimodal.decode(p)
+      assert(m.width == rate && m.height == ch && m.frames == n,
+        s"WAV $rate/$ch/$n decoded as ${m.width}/${m.height}/${m.frames}")
+    }
+    // non-media payloads (and short prefixes of magic) still hit the stub
+    for (bytes <- Seq("plain text".getBytes("UTF-8"), "BM".getBytes("UTF-8"),
+                      "RIFF".getBytes("UTF-8"), Array.emptyByteArray)) {
+      assert(Multimodal.decode(bytes) == Multimodal.decodeStub(bytes))
+    }
+    // the distributed extract path uses the real parser
+    import spark.implicits._
+    val docs = Seq((2L, Multimodal.syntheticBmp(12, 7, 2L)),
+                   (3L, "just text".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(docs, "doc_id").orderBy($"key").collect()
+    assert(meta(0).getInt(2) == 12 && meta(0).getInt(3) == 7)
+    assert(meta(1).getInt(2) == Multimodal.decodeStub("just text".getBytes("UTF-8")).width)
+  }
+
   test("bucketed embed near-dup == brute force; separated clusters prune pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
