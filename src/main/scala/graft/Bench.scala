@@ -84,34 +84,41 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1080000").toLong
+    // probe knobs (builder-side iteration only; the driver runs defaults)
+    val scaleOnly = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
+    val minRounds = sys.env.getOrElse("SPARK_GRAFT_MIN_ROUNDS", "5").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "9").toInt
 
     // ---- phase 1: gate queries on sfDir ----
     val spark = session(cpus)
-    Gate.index(spark, sfDir) // build once so per-query times are honest
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = timeS {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+    val (queryTimes, warmMs, warmDfMs) = if (scaleOnly) {
+      (Seq.empty[(String, Double)], 0.0, 0.0)
+    } else {
+      Gate.index(spark, sfDir) // build once so per-query times are honest
+      val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t = timeS {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        }
+        name -> t
       }
-      name -> t
+      // warm query latency, both access paths:
+      //  - serving path (HotIndex: cached per-partition term maps + runJob,
+      //    no per-query planning) — the number a long-lived service sees;
+      //  - DataFrame path (per-query Catalyst plan over the prepared cache)
+      //    — the number a batch job sees per ad-hoc query.
+      val ix = Gate.index(spark, sfDir)
+      val hot = graft.index.HotIndex(ix)
+      hot.search(Gate.Queries.head._2, 10) // warmup: JIT + cache touch
+      val latHot = (0 until 9).map(i => timeS {
+        hot.search(Gate.Queries(i % Gate.Queries.size)._2, 10)
+      }).sorted
+      val latDf = (0 until 7).map(i => timeS {
+        ix.search(Gate.Queries(i % Gate.Queries.size)._2, 10).collect()
+      }).sorted
+      hot.close()
+      (qt, latHot(latHot.size / 2) * 1000, latDf(latDf.size / 2) * 1000)
     }
-    // warm query latency, both access paths:
-    //  - serving path (HotIndex: cached per-partition term maps + runJob,
-    //    no per-query planning) — the number a long-lived service sees;
-    //  - DataFrame path (per-query Catalyst plan over the prepared cache)
-    //    — the number a batch job sees per ad-hoc query.
-    val ix = Gate.index(spark, sfDir)
-    val hot = graft.index.HotIndex(ix)
-    hot.search(Gate.Queries.head._2, 10) // warmup: JIT + cache touch
-    val latHot = (0 until 9).map(i => timeS {
-      hot.search(Gate.Queries(i % Gate.Queries.size)._2, 10)
-    }).sorted
-    val warmMs = latHot(latHot.size / 2) * 1000
-    val latDf = (0 until 7).map(i => timeS {
-      ix.search(Gate.Queries(i % Gate.Queries.size)._2, 10).collect()
-    }).sorted
-    val warmDfMs = latDf(latDf.size / 2) * 1000
-    hot.close()
 
     // ---- phase 2: materialize the bench corpus as a table at rest ----
     val shm = new java.io.File("/dev/shm")
@@ -144,18 +151,27 @@ object Bench {
     // >1% (i.e. the floors haven't converged), up to 9 — a noisy-window
     // bench gets more chances to see the machine's quiet capability at
     // EVERY level, never selectively at one.
-    val mins = Array.fill(3)(Double.PositiveInfinity)
-    val levels = Seq((2, "c2"), (8, "c8"), (32, "c32"))
+    val levels = sys.env.get("SPARK_GRAFT_LEVELS")
+      .map(_.split(",").toSeq.map(s => (s.trim.toInt, s"c${s.trim}")))
+      .getOrElse(Seq((2, "c2"), (8, "c8"), (32, "c32")))
+    val mins = Array.fill(levels.size)(Double.PositiveInfinity)
     var round = 0
     var improved = true
-    while (round < 5 || (round < 9 && improved)) {
+    while (round < minRounds || (round < maxRounds && improved)) {
       improved = false
       levels.zipWithIndex.foreach { case ((cores, tag), i) =>
         val t = spawnBuild(cores, corpusPath, dir(tag), tmpBase)
         if (t < mins(i) * 0.99) improved = true
         if (t < mins(i)) mins(i) = t
+        System.err.println(f"[bench] round $round c$cores: $t%.1f s (floor ${mins(i)}%.1f)")
       }
       round += 1
+    }
+    if (mins.length != 3) { // probe mode: raw floors only
+      println(levels.map(_._2).zip(mins).map { case (l, t) => f""""$l":$t%.1f""" }
+        .mkString("{", ",", "}"))
+      scala.reflect.io.Path(tmpBase).deleteRecursively()
+      return
     }
     val Array(t2, t8, t32) = mins
     val thr = (t: Double) => scaleDocs / t

@@ -119,7 +119,8 @@ object Wand {
   def topK(termBlocks: Seq[(Double, Double, Array[Block])], k: Int,
            avgdl: Double, filter: DocFilter = DocFilter.All,
            seedThreshold: Double = Double.NegativeInfinity,
-           after: ScoredDoc = null): Array[ScoredDoc] = {
+           after: ScoredDoc = null,
+           stats: SearchStats = null): Array[ScoredDoc] = {
     val cursors = termBlocks
       .map { case (idf, ub, bs) => new TermCursor(idf, ub, bs, avgdl) }
       .toArray
@@ -242,6 +243,10 @@ object Wand {
           }
         }
       }
+    }
+    if (stats != null) {
+      stats.decodedBlocks += cursors.map(_.decodedBlocks).sum
+      stats.totalBlocks += termBlocks.map(_._3.length.toLong).sum
     }
     heap.drain().map { case (s, d) => ScoredDoc(d, s) }
   }
