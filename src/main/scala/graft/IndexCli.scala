@@ -150,15 +150,26 @@ object IndexCli {
         val k = if (args.length > 2) args(2).toInt else 10
         val hot = HotIndex(InvertedIndex.load(spark, args(1)))
         hot.search("warmup", 1) // touch the cache + JIT the kernel
-        println(s"ready: ${hot.stats.numDocs} docs, k=$k (query per line; empty line or EOF quits)")
+        println(s"ready: ${hot.stats.numDocs} docs, k=$k (query per line; " +
+          "prefixes: ':t <tau> q...' threshold, ':a <score> <docId> q...' " +
+          "next page, ':d id,id q...' deny set; empty line or EOF quits)")
         val in = scala.io.Source.stdin.getLines()
         var go = true
         while (go && in.hasNext) {
-          val q = in.next().trim
-          if (q.isEmpty) go = false
+          val line = in.next().trim
+          if (line.isEmpty) go = false
           else {
             val t0 = System.nanoTime()
-            val hits = hot.search(q, k)
+            val hits = line.split("\\s+").toList match {
+              case ":t" :: tau :: rest =>
+                hot.searchThreshold(rest.mkString(" "), tau.toDouble)
+              case ":a" :: s :: d :: rest =>
+                hot.searchAfter(rest.mkString(" "), k, s.toDouble, d.toLong)
+              case ":d" :: ids :: rest =>
+                hot.search(rest.mkString(" "), k,
+                  deny = ids.split(",").filter(_.nonEmpty).map(_.toLong))
+              case _ => hot.search(line, k)
+            }
             val ms = (System.nanoTime() - t0) / 1e6
             println(f"[$ms%.1f ms] " + hits.map(sd =>
               f"${sd.docId}:${sd.score}%.3f").mkString(" "))

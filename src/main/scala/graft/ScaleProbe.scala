@@ -55,26 +55,46 @@ object ScaleProbe {
         val byShard = ix.blocks.filter($"term".isin(terms: _*)).collect()
           .groupBy(_.shard)
         val st = new Wand.SearchStats
+        var top10 = List.empty[ScoredDoc]
         byShard.foreach { case (_, bs) =>
           val termBlocks = bs.groupBy(_.term).toSeq.sortBy(_._1)
             .flatMap { case (t, arr) =>
               plan.get(t).map { case (idf, ub) => (idf, ub, arr.sortBy(_.firstDocId)) }
             }
-          Wand.topK(termBlocks, 10, avgdl, stats = st)
+          top10 = (top10 ++ Wand.topK(termBlocks, 10, avgdl, stats = st))
+            .sortBy(sd => (-sd.score, sd.docId)).take(10)
         }
         decoded += st.decodedBlocks
         total += st.totalBlocks
+        // threshold query at τ = the global 10th score — the workload the
+        // block-max machinery exists for; its skip ratio is the scale story
+        val tau = top10.lastOption.map(_.score).getOrElse(0.0)
+        var thDecoded = 0L
+        var thTotal = 0L
+        byShard.foreach { case (_, bs) =>
+          val termBlocks = bs.groupBy(_.term).toSeq.sortBy(_._1)
+            .flatMap { case (t, arr) =>
+              plan.get(t).map { case (idf, ub) => (idf, ub, arr.sortBy(_.firstDocId)) }
+            }
+          val ts = new Wand.SearchStats
+          Wand.threshold(termBlocks, tau, avgdl, stats = ts).length
+          thDecoded += ts.decodedBlocks; thTotal += ts.totalBlocks
+        }
         val lat = (0 until 7).map { _ =>
           val s = System.nanoTime(); hot.search(q, 10); (System.nanoTime() - s) / 1e6
         }.sorted
-        (q, st.decodedBlocks, st.totalBlocks, lat(3))
+        (q, st.decodedBlocks, st.totalBlocks, lat(3), thDecoded, thTotal)
       }
       hot.close()
-      val qj = perQ.map { case (q, d, t, ms) =>
-        f""""$q":{"decoded":$d,"blocks":$t,"skip":${1.0 - d.toDouble / math.max(1, t)}%.3f,"warm_ms":$ms%.1f}"""
+      val thD = perQ.map(_._5).sum
+      val thT = perQ.map(_._6).sum
+      val qj = perQ.map { case (q, d, t, ms, td, tt) =>
+        f""""$q":{"decoded":$d,"blocks":$t,"skip":${1.0 - d.toDouble / math.max(1, t)}%.3f,""" +
+          f""""th_skip":${1.0 - td.toDouble / math.max(1, tt)}%.3f,"warm_ms":$ms%.1f}"""
       }.mkString("{", ",", "}")
       println(f"""{"docs":$n,"build_s":$buildS%.1f,"decoded":$decoded,""" +
         f""""candidate_blocks":$total,"skip_ratio":${1.0 - decoded.toDouble / math.max(1, total)}%.3f,""" +
+        f""""threshold_skip_ratio":${1.0 - thD.toDouble / math.max(1, thT)}%.3f,""" +
         f""""queries":$qj}""")
       ix.unpersist()
       spark.catalog.clearCache()

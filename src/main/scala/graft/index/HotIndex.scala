@@ -166,7 +166,11 @@ object HotIndex {
   def apply(ix0: InvertedIndex, numPartitions: Int = 0): HotIndex = {
     val ix = if (ix0.hotDict != null) ix0 else ix0.withHotDict()
     val sc = ix.spark.sparkContext
-    val p = if (numPartitions > 0) numPartitions else sc.defaultParallelism
+    // never exceed the shard count: blocks hash-partition by shard, so
+    // partitions beyond numShards are structurally EMPTY yet still cost a
+    // scheduled task in every runJob — pure per-query latency overhead
+    val p = if (numPartitions > 0) numPartitions
+            else math.max(1, math.min(sc.defaultParallelism, ix.stats.numShards))
     val parts = ix.blocks.rdd
       .map(b => (b.shard, b))
       .partitionBy(new HashPartitioner(p))
