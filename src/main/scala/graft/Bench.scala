@@ -86,6 +86,7 @@ object Bench {
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "1080000").toLong
     // probe knobs (builder-side iteration only; the driver runs defaults)
     val scaleOnly = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
+    val queriesOnly = sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")
     val minRounds = sys.env.getOrElse("SPARK_GRAFT_MIN_ROUNDS", "5").toInt
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "9").toInt
 
@@ -118,6 +119,14 @@ object Bench {
       }).sorted
       hot.close()
       (qt, latHot(latHot.size / 2) * 1000, latDf(latDf.size / 2) * 1000)
+    }
+    if (queriesOnly) { // sf-escalation probe: phase 1 only, raw JSON line
+      val qs0 = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      println(f"""{"sf":"$sfDir","total":${queryTimes.map(_._2).sum}%.3f,"""
+        + f""""queries":$qs0,"warm_query_ms":$warmMs%.1f}""")
+      spark.stop()
+      return
     }
 
     // ---- phase 2: materialize the bench corpus as a table at rest ----

@@ -82,6 +82,49 @@ object Text {
     (packSorted(m), count)
   }
 
+  /** Receiver for [[tokenizeInto]]: one call per token, in text order.
+    * `buf(0 until len)` is the lowercased token; the array is REUSED across
+    * calls — implementations must copy if they retain it. */
+  trait TokenSink {
+    def token(buf: Array[Char], len: Int): Unit
+  }
+
+  /** Streaming tokenizer for the SPIMI build hot path: emits each token of
+    * ASCII `text` into `sink` (token chars, no String) and returns the token
+    * count. Token semantics are byte-identical to [[tokenize]] on ASCII
+    * input (lowercase, maximal [a-z0-9] runs) — property-tested against the
+    * frozen tokenizer. Returns -1 WITHOUT calling the sink if `text` has any
+    * non-ASCII char, so callers can fall back to [[termFreqs]] atomically.
+    * This is the zero-allocation analog of the reference's primitive-array
+    * build kernels (jvector `graph/NodeArray.java:52-132` grows primitive
+    * arrays instead of boxing per element). */
+  def tokenizeInto(text: String, sink: TokenSink): Int = {
+    var i = 0
+    val n = text.length
+    while (i < n && text.charAt(i) < 128) i += 1
+    if (i < n) return -1
+    var buf = new Array[Char](32)
+    var bl = 0
+    var count = 0
+    i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      val alnum = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
+      if (alnum) {
+        if (bl == buf.length) buf = java.util.Arrays.copyOf(buf, bl * 2)
+        buf(bl) = lc
+        bl += 1
+      } else if (bl > 0) {
+        sink.token(buf, bl)
+        count += 1
+        bl = 0
+      }
+      i += 1
+    }
+    count
+  }
+
   private def termFreqsSlow(text: String): (Array[(String, Int)], Int) = {
     val toks = tokenize(text)
     val m = new java.util.HashMap[String, Int]()

@@ -38,6 +38,25 @@ class CoreSpec extends AnyFunSuite {
     assert(Text.termFreqs(long)._1.toMap == Map(("x" * 5000) -> 1, "y" -> 1))
   }
 
+  test("tokenizeInto streaming sink == frozen tokenize (property)") {
+    val pool = "abzAZ09 .,-_!?\t\n#@"
+    def drain(s: String): Option[Seq[String]] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val n = Text.tokenizeInto(s, (buf, len) => got += new String(buf, 0, len))
+      if (n < 0) None else { assert(n == got.length); Some(got.toSeq) }
+    }
+    forAllSeeded(500) { rnd =>
+      val s = Array.fill(rnd.nextInt(400))(pool(rnd.nextInt(pool.length))).mkString
+      assert(drain(s).contains(Text.tokenize(s).toSeq), s"<$s>")
+    }
+    // non-ASCII: must return -1 WITHOUT emitting any token (atomic fallback)
+    Seq("héllo wörld", "ascii then ünïcode", "日本語 42").foreach { s =>
+      var called = false
+      assert(Text.tokenizeInto(s, (_, _) => called = true) == -1 && !called, s"<$s>")
+    }
+    assert(drain("x" * 5000 + " Y9").contains(Seq("x" * 5000, "y9"))) // buffer growth
+  }
+
   test("codec: docId delta-varbyte round-trips (property)") {
     forAllSeeded() { rnd =>
       val n = rnd.nextInt(300)
