@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.SparkBridge
+import org.apache.spark.sql.graftx.SparkBridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector kernels (cosine / dot / L2)
+  * used by the ANN and embedding-dedup operators.
+  *
+  * Why expressions and not `functions.aggregate`/`zip_with`: the
+  * higher-order-function formulation allocates an ArrayData per lambda
+  * step and is interpreted per element (~µs per 32-dim pair), which made
+  * the sf1 escalation run's `dedup_embed` verification join ~50× slower
+  * than the same arithmetic in a fused loop. These expressions generate a
+  * primitive `double` loop inside whole-stage codegen (~ns per pair) —
+  * preference (b) of the build brief: a native `Expression` with
+  * `doGenCode`, not a Scala UDF.
+  *
+  * Numeric parity is load-bearing: each kernel accumulates in exactly the
+  * element order of the higher-order-function formulation it replaces
+  * (left-to-right `acc + x`, norms as `sqrt(Σx²)` factored per side), so
+  * scores are bit-identical to the previous plans and to the SQL oracles
+  * after 1e-4 quantization (similarity math mirrors the reference,
+  * jvector VectorSimilarityFunction.java:37-84, in double precision).
+  *
+  * Null semantics mirror the HOF formulation: a null array, a null
+  * element, or mismatched lengths (zip_with pads with null) make the
+  * result null, which every caller then filters/sorts away.
+  */
+abstract class VectorBinaryExpr extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** (dot, normA², normB², l2²) -> result. */
+  protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double
+  /** Java expression for the result, over locals dot/na2/nb2/d2. */
+  protected def finishJava(dot: String, na2: String, nb2: String, d2: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na2 = 0.0; var nb2 = 0.0; var d2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = x.getDouble(i); val xb = y.getDouble(i)
+      dot += xa * xb; na2 += xa * xa; nb2 += xb * xb
+      val d = xa - xb; d2 += d * d
+      i += 1
+    }
+    finish(dot, na2, nb2, d2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na2 = ctx.freshName("na2")
+      val nb2 = ctx.freshName("nb2")
+      val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      s"""
+        final int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na2 = 0.0, $nb2 = 0.0, $d2 = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            final double $xa = $a.getDouble($i);
+            final double $xb = $b.getDouble($i);
+            $dot += $xa * $xb; $na2 += $xa * $xa; $nb2 += $xb * $xb;
+            final double $d = $xa - $xb; $d2 += $d * $d;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = ${finishJava(dot, na2, nb2, d2)};
+          }
+        }
+      """
+    })
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double =
+    dot / (math.sqrt(na2) * math.sqrt(nb2))
+  override protected def finishJava(dot: String, na2: String, nb2: String, d2: String): String =
+    s"$dot / (java.lang.Math.sqrt($na2) * java.lang.Math.sqrt($nb2))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProd(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double = dot
+  override protected def finishJava(dot: String, na2: String, nb2: String, d2: String): String = dot
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_prod"
+}
+
+case class L2Dist(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double =
+    math.sqrt(d2)
+  override protected def finishJava(dot: String, na2: String, nb2: String, d2: String): String =
+    s"java.lang.Math.sqrt($d2)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_dist"
+}
+
+object VectorFunctions {
+  /** cosine(a, b) over array<double> columns — codegen'd fused loop. */
+  def cosineSim(a: Column, b: Column): Column =
+    SparkBridge.column(CosineSim(SparkBridge.expression(a),
+      SparkBridge.expression(b)))
+  def dotProd(a: Column, b: Column): Column =
+    SparkBridge.column(DotProd(SparkBridge.expression(a),
+      SparkBridge.expression(b)))
+  def l2Dist(a: Column, b: Column): Column =
+    SparkBridge.column(L2Dist(SparkBridge.expression(a),
+      SparkBridge.expression(b)))
+}

@@ -143,13 +143,13 @@ object Dedup {
     jaccardForPairs(sh, candidates, threshold)
   }
 
-  private def pairSim: Column = {
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Exact cosine over the (va, vb) candidate columns — fused-loop codegen
+    * kernel ([[graft.functions.CosineSim]]), bit-identical accumulation
+    * order to the zip_with/aggregate formulation it replaced. The sf1
+    * escalation run measured the interpreted HOF version at ~18 µs/pair,
+    * which turned the low-threshold verification join into a 53× blowup. */
+  private def pairSim: Column =
+    graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))
 
   /** All-pairs embedding near-dup — O(n²) cross join. TEST ORACLE ONLY:
     * the shipped operator is [[embedCosinePairs]] (IVF-bucketed, exact). */
@@ -187,7 +187,7 @@ object Dedup {
   final class EmbedMetrics { var clusters = 0; var clusterPairs = 0 }
 
   def embedCosinePairs(emb: DataFrame, keyCol: String, vecCol: String,
-                       threshold: Double, kCenters: Int = 16,
+                       threshold: Double, kCenters: Int = 0,
                        iters: Int = 2, metrics: EmbedMetrics = null): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -196,7 +196,14 @@ object Dedup {
     val nrm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
     val unit = e.filter(nrm > 0)
       .select(col("k"), col("v"), transform(col("v"), x => x / nrm).as("u"))
-    val centroids = Ann.kmeansCentroids(spark, unit, "k", "u", kCenters, iters)
+    // kCenters = 0 -> auto: scale the cluster count with the corpus so the
+    // per-bucket candidate work stays bounded (fixed k makes the bucketed
+    // join O(n²/k) — the sf1 escalation run caught exactly that blowup).
+    // ~256 vectors per bucket keeps each surviving bucket-pair a small
+    // codegen'd join; the driver-side pruning loop stays k² <= 4096².
+    val k0 = if (kCenters > 0) kCenters
+             else math.min(4096L, math.max(16L, unit.count() / 256L)).toInt
+    val centroids = Ann.kmeansCentroids(spark, unit, "k", "u", k0, iters)
     val cB = spark.sparkContext.broadcast(centroids)
     val assigned = unit.as[(Long, Seq[Double], Seq[Double])].map { case (k, v, u) =>
       val (c, d2) = Ann.nearestCentroidDist(u.toArray, cB.value)
