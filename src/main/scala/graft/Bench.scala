@@ -88,7 +88,11 @@ object Bench {
     val scaleOnly = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
     val queriesOnly = sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")
     val minRounds = sys.env.getOrElse("SPARK_GRAFT_MIN_ROUNDS", "5").toInt
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "9").toInt
+    // cap raised 9 -> 12 in round 3: the host's noise amplitude grew to
+    // ±40% on single rounds (BASELINE.md round-3 scaling notes) — the
+    // adaptive >1%-improvement rule needs more headroom to find each
+    // level's floor; it still stops early in quiet windows.
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "12").toInt
 
     // ---- phase 1: gate queries on sfDir ----
     val spark = session(cpus)

@@ -37,8 +37,11 @@ object ScaleProbe {
     sizes.foreach { n =>
       val t0 = System.nanoTime()
       val corpus = WebCorpus.generate(spark, n, partitions = 64)
+      // SPARK_GRAFT_DOC_ORDER=length probes the score-clustered docId
+      // layout (document reordering); default = url order.
       val ix = IndexBuilder.build(spark, corpus,
-        IndexBuilder.Options(numShards = 32, rangePartitions = 64))
+        IndexBuilder.Options(numShards = 32, rangePartitions = 64,
+          docOrder = sys.env.getOrElse("SPARK_GRAFT_DOC_ORDER", "url")))
       val buildS = (System.nanoTime() - t0) / 1e9
       val hot = HotIndex(ix.prepared())
       hot.search(queries.head, 10) // warmup: JIT + cache touch

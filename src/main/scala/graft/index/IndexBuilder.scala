@@ -39,7 +39,36 @@ object IndexBuilder {
       numShards: Int = 32,
       rangePartitions: Int = 32,
       blockSize: Int = Codec.BlockSize,
-      quantizedBounds: Boolean = false)
+      quantizedBounds: Boolean = false,
+      docOrder: String = "url")
+
+  /** Sort keys that define docId assignment order (stage 1).
+    *
+    *  - "url" (default): lexicographic url — the web-standard layout;
+    *    clusters same-site pages for delta-gap compression.
+    *  - "length": (hash(url) % numShards, docLen, url) — score-clustered
+    *    layout (the standard document-reordering remedy, cf. Ding & Suel's
+    *    BMW observation that docId assignment bounds block-max tightness).
+    *    BM25's length normalization makes per-block score bounds track doc
+    *    length, so sorting by length makes blockMax DECLINE across a docId
+    *    range and lets WAND's θ prune head-term blocks — with random/url
+    *    order every 128-posting block of a head term contains a short doc,
+    *    blockMax ≈ global max everywhere, and no θ can skip (measured ~0%
+    *    on same-df conjunctions, BASELINE.md round 3). The leading
+    *    hash-bucket key matters: shards are contiguous docId ranges and
+    *    each runs WAND with its OWN θ, so the length decline must happen
+    *    WITHIN each shard's range, not globally (a global length sort just
+    *    makes every shard internally uniform again — measured zero skip).
+    *    Results stay score-identical per url: scores depend on (tf, df,
+    *    dl), never on docId; only tie ORDER among equal scores can differ.
+    */
+  private[graft] def orderCols(opts: Options): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, udf, xxhash64}
+    if (opts.docOrder == "length")
+      Seq(pmod(xxhash64(col("url")), lit(opts.numShards.toLong)),
+        udf((t: String) => Text.countTokens(t)).apply(col("text")), col("url"))
+    else Seq(col("url"))
+  }
 
   /** Lossy-but-admissible block-bound quantization (the C5 uint8 option;
     * reference analog: jvector pq/LocallyAdaptiveVectorQuantization
@@ -99,7 +128,8 @@ object IndexBuilder {
 
     // --- stage 1: deterministic dense docIds ---
     val parts = opts.rangePartitions
-    val sorted = in.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+    val oc = orderCols(opts)
+    val sorted = in.repartitionByRange(parts, oc: _*).sortWithinPartitions(oc: _*)
       .persist()
     val counts = sorted.mapPartitions { it =>
       Iterator((TaskContext.getPartitionId(), it.size.toLong))

@@ -61,8 +61,9 @@ object ResumableBuild {
     // sampling involved) and at corpus scale you stream from the table
     // instead of caching it; the range-shuffled path MUST cache because
     // the range partitioner resamples on recompute.
+    val oc = IndexBuilder.orderCols(opts)
     val sorted0 = if (assumeSorted) in.sortWithinPartitions($"url")
-                  else in.repartitionByRange(parts, $"url").sortWithinPartitions($"url")
+                  else in.repartitionByRange(parts, oc: _*).sortWithinPartitions(oc: _*)
     val sorted = if (assumeSorted) sorted0 else sorted0.persist()
     // per-partition row counts. assumeSorted: counts come from the SOURCE
     // partitioning (identical to sorted's: file-split planning depends on
