@@ -148,6 +148,23 @@ object GateOps {
     ranked(res.select(col("key"), sqrt(col("dist2")).as("sim")), asc = true)
   }
 
+  /** Graph path (cluster-partitioned NSW, Nsw.scala) in exact mode —
+    * nProbe == kCenters and ef >= cluster size, so the beam frontier
+    * admits every node and the oracle is brute-force cosine (the same
+    * contract as annIvf/annPq); production knobs measured in NswSpec. */
+  def annGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val built = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 32, kCenters = 8, iters = 2))
+    // persistence round-trip ON the gate (see annIvf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw").toString
+    Nsw.save(spark, built, dir)
+    built.unpersist()
+    val g = Nsw.load(spark, dir)
+    ranked(Nsw.topK(g, queryVec(spark, sfDir, 3), 10,
+      nProbe = g.params.kCenters, ef = Int.MaxValue), asc = false)
+  }
+
   // ---------- multimodal ----------
 
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {

@@ -37,6 +37,7 @@ object SparkEntry {
     "ann_l2" -> ((s, d) => GateOps.annL2(s, d)),
     "ann_ivf" -> ((s, d) => GateOps.annIvf(s, d)),
     "ann_pq" -> ((s, d) => GateOps.annPq(s, d)),
+    "ann_graph" -> ((s, d) => GateOps.annGraph(s, d)),
     "multimodal_meta" -> ((s, d) => GateOps.multimodalMeta(s, d)),
     "rel_q1" -> ((s, d) => GateOps.relQ1(s, d)),
     "rel_join_top10" -> ((s, d) => GateOps.relJoinTop10(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
       "ann_l2" -> GateOpsOracle.annL2,
       "ann_ivf" -> GateOpsOracle.annIvf,
       "ann_pq" -> GateOpsOracle.annPq,
+      "ann_graph" -> GateOpsOracle.annGraph,
       "multimodal_meta" -> GateOpsOracle.multimodalMeta,
       "rel_q1" -> GateOpsOracle.relQ1,
       "rel_join_top10" -> GateOpsOracle.relJoinTop10,
