@@ -52,7 +52,9 @@ object IndexCli {
         val t0 = System.nanoTime()
         val ix = ResumableBuild.build(spark, corpus, dir,
           IndexBuilder.Options(numShards = 32, rangePartitions = parts,
-            quantizedBounds = sys.env.contains("SPARK_GRAFT_QUANTIZED")),
+            quantizedBounds = sys.env.contains("SPARK_GRAFT_QUANTIZED"),
+            // "length" = score-clustered docId layout (WAND skip; BASELINE.md)
+            docOrder = sys.env.getOrElse("SPARK_GRAFT_DOC_ORDER", "url")),
           numChunks = chunks,
           assumeSorted = sys.env.contains("SPARK_GRAFT_ASSUME_SORTED"),
           parallelChunks = sys.env.getOrElse("SPARK_GRAFT_PAR_CHUNKS", "1").toInt)

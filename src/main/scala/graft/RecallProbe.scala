@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Pq}
+import graft.ops.{Ann, Nsw, Pq}
 
 /** Recall-vs-cost curves for the approximate ANN paths on a corpus HARDER
   * than the clustered test fixtures: overlapping Gaussian clusters plus a
@@ -81,10 +81,34 @@ object RecallProbe {
       rf -> r
     }
 
+    // NSW graph sweep (cosine): same coarse cluster count as IVF, so the
+    // nProbe curves are directly comparable (router identical in shape;
+    // within-cluster beam replaces within-cluster scan)
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 64, kCenters = kClusters, iters = 4))
+    g.adj.count()
+    val nswEfCurve = Seq(8, 16, 32, 64, 128).map { ef =>
+      val r = queryIds.map { qid =>
+        recall(Nsw.topK(g, queries(qid), 10, nProbe = 8, ef = ef)
+          .select($"key").as[Long].collect().toSeq, bruteCos(qid))
+      }.sum / queryIds.size
+      ef -> r
+    }
+    val nswProbeCurve = Seq(1, 2, 4, 8, 16, 32, 64).map { nProbe =>
+      val r = queryIds.map { qid =>
+        recall(Nsw.topK(g, queries(qid), 10, nProbe, ef = 64)
+          .select($"key").as[Long].collect().toSeq, bruteCos(qid))
+      }.sum / queryIds.size
+      nProbe -> r
+    }
+
     val ij = ivfCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     val pj = pqCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+    val nej = nswEfCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+    val npj = nswProbeCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     println(s"""{"docs":$n,"dim":$dim,"clusters":$kClusters,"outlier_frac":0.2,""" +
-      s""""ivf_recall_at_nprobe":$ij,"pq_recall_at_rerank":$pj}""")
+      s""""ivf_recall_at_nprobe":$ij,"pq_recall_at_rerank":$pj,""" +
+      s""""nsw_recall_at_ef_nprobe8":$nej,"nsw_recall_at_nprobe_ef64":$npj}""")
     spark.stop()
   }
 }
