@@ -83,22 +83,40 @@ final class HotIndex private (
 
   /** Threshold serving twin of [[InvertedIndex.searchThreshold]]: ALL docs
     * with score >= tau, (score desc, docId asc). Same block-max skip
-    * machinery with θ pinned to τ. */
+    * machinery with θ pinned to τ.
+    *
+    * Result-size guard (mirror of [[HotIndex.FilterSetCap]]): the serving
+    * path materializes the full result set on the DRIVER, so a low τ on a
+    * head term would otherwise pull O(corpus) rows into driver memory.
+    * Each partition checks its own hit count BEFORE shipping results and
+    * fails loudly past `maxResults` — bulk threshold scans belong on the
+    * distributed DataFrame path ([[InvertedIndex.searchThreshold]]). */
   def searchThreshold(query: String, tau: Double,
-                      deny: Array[Long] = Array.emptyLongArray): Array[ScoredDoc] = {
+                      deny: Array[Long] = Array.emptyLongArray,
+                      maxResults: Int = HotIndex.ThresholdResultCap): Array[ScoredDoc] = {
     val plan = ix.queryPlanFor(query)
     if (plan.isEmpty) return Array.empty
     val filter = mkFilter(null, deny)
     val avgdl = ix.stats.avgdl
+    val cap = maxResults
     val perPart: Array[Array[ScoredDoc]] =
       ix.spark.sparkContext.runJob(parts,
         (it: Iterator[java.util.HashMap[String, Array[Block]]]) =>
           if (!it.hasNext) Array.empty[ScoredDoc]
           else {
             val termBlocks = HotIndex.planBlocks(plan, it.next())
-            Wand.threshold(termBlocks, tau, avgdl, filter).toArray
+            val hits = Wand.threshold(termBlocks, tau, avgdl, filter)
+            require(hits.size <= cap,
+              s"threshold query matched ${hits.size} docs in one partition, " +
+              s"over the serving result cap ($cap); run bulk threshold scans " +
+              "on the DataFrame path (InvertedIndex.searchThreshold)")
+            hits.toArray
           })
     val all = perPart.flatten
+    require(all.length <= cap,
+      s"threshold query matched ${all.length} docs, over the serving result " +
+      s"cap ($cap); run bulk threshold scans on the DataFrame path " +
+      "(InvertedIndex.searchThreshold)")
     scala.util.Sorting.stableSort(all,
       (x: ScoredDoc, y: ScoredDoc) =>
         x.score > y.score || (x.score == y.score && x.docId < y.docId))
@@ -151,6 +169,10 @@ object HotIndex {
     * serialized into EVERY query's job closure. Larger sets must go
     * through compaction (deny) or the DataFrame path (allow). */
   val FilterSetCap = 1000000
+
+  /** Max rows a serving-path threshold query may return: results land in
+    * ONE driver array, so unbounded τ-scans must use the DataFrame path. */
+  val ThresholdResultCap = 1000000
 
   /** One query's (idf, ub, blocks) list from a partition's term map —
     * shared by every serving kernel. */

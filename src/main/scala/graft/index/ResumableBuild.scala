@@ -61,8 +61,19 @@ object ResumableBuild {
     // sampling involved) and at corpus scale you stream from the table
     // instead of caching it; the range-shuffled path MUST cache because
     // the range partitioner resamples on recompute.
+    // assumeSorted keeps the table's own partition layout (docIds are
+    // positional), so docOrder can only reorder WITHIN partitions: the
+    // "length" layout drops its hash-bucket leading key (positional
+    // shards replace it) and sorts each partition by (docLen, url) — the
+    // within-shard length gradient block-max pruning needs still appears,
+    // partition-by-partition. Silently ignoring docOrder here was a
+    // round-3 bug (url sort regardless of the option).
     val oc = IndexBuilder.orderCols(opts)
-    val sorted0 = if (assumeSorted) in.sortWithinPartitions($"url")
+    val sortedWithin: Seq[org.apache.spark.sql.Column] =
+      if (opts.docOrder == "length")
+        Seq(udf((t: String) => Text.countTokens(t)).apply($"text"), $"url")
+      else Seq($"url")
+    val sorted0 = if (assumeSorted) in.sortWithinPartitions(sortedWithin: _*)
                   else in.repartitionByRange(parts, oc: _*).sortWithinPartitions(oc: _*)
     val sorted = if (assumeSorted) sorted0 else sorted0.persist()
     // per-partition row counts. assumeSorted: counts come from the SOURCE

@@ -41,11 +41,25 @@ object Multimodal {
   private def u16le(p: Array[Byte], o: Int): Int =
     (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
 
+  /** BMP detection requires the full BITMAPINFOHEADER shape, not just the
+    * 2-byte magic: header size == 40 @14, planes == 1 @26, a legal bpp
+    * @28, and strictly positive dimensions. A text payload that happens
+    * to start with "BM" (the gate corpus mixes raw UTF-8 payloads in)
+    * must NOT be routed to the real parser — the oracle predicts the stub
+    * formula for it, and a corrupt header must not emit garbage
+    * dimensions. */
   def isBmp(p: Array[Byte]): Boolean =
-    p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+    p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
+      i32le(p, 14) == 40 && u16le(p, 26) == 1 &&
+      (u16le(p, 28) match {
+        case 1 | 4 | 8 | 16 | 24 | 32 => true
+        case _ => false
+      }) &&
+      i32le(p, 18) > 0 && i32le(p, 22) != 0 && i32le(p, 22) != Int.MinValue
 
   /** Real BMP parse (BITMAPINFOHEADER): width int32le @18, height int32le
-    * @22 (negative = top-down rows; dimension is the magnitude). */
+    * @22 (negative = top-down rows; dimension is the magnitude).
+    * [[isBmp]] has already validated width > 0 and |height| > 0. */
   def decodeBmp(p: Array[Byte]): MediaMeta =
     MediaMeta(p.length.toLong, width = i32le(p, 18),
       height = math.abs(i32le(p, 22)), frames = 1)
@@ -57,22 +71,40 @@ object Multimodal {
 
   /** Real PCM WAV parse (RIFF chunk walk): width := sample rate,
     * height := channels, frames := sample frames (data bytes / block
-    * align) — the natural audio analog of the image dimensions. */
+    * align) — the natural audio analog of the image dimensions.
+    *
+    * The walk never trusts a declared chunk size: `off` advances in LONG
+    * arithmetic and the loop stops at the first chunk whose declared size
+    * does not fit the payload (a truncated 32-bit size like 0xFFFFFFF8
+    * would otherwise advance by zero — an infinite loop pinning an
+    * executor task on one adversarial/corrupt doc — and a large positive
+    * size would overflow `off` negative and throw). Whatever well-formed
+    * prefix was walked still yields partial metadata. */
   def decodeWav(p: Array[Byte]): MediaMeta = {
-    var off = 12
+    var off = 12L
     var channels = 0
     var sampleRate = 0
     var blockAlign = 0
     var dataLen = 0L
-    while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, "US-ASCII")
-      val sz = i32le(p, off + 4).toLong & 0xFFFFFFFFL
-      if (id == "fmt " && off + 24 <= p.length) {
-        channels = u16le(p, off + 10)
-        sampleRate = i32le(p, off + 12)
-        blockAlign = u16le(p, off + 20)
-      } else if (id == "data") dataLen = sz
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    var malformed = false
+    while (!malformed && off + 8 <= p.length) {
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = i32le(p, o + 4).toLong & 0xFFFFFFFFL
+      if (off + 8 + sz > p.length) {
+        // declared size exceeds the payload: stop on the malformed chunk
+        // (a final "data" chunk on a truncated file still counts its
+        // declared length toward frames only if it fits — it doesn't, so
+        // it is dropped along with everything after it)
+        malformed = true
+      } else {
+        if (id == "fmt " && off + 24 <= p.length) {
+          channels = u16le(p, o + 10)
+          sampleRate = i32le(p, o + 12)
+          blockAlign = u16le(p, o + 20)
+        } else if (id == "data") dataLen = sz
+        off += 8L + sz + (sz & 1L) // chunks are word-aligned
+      }
     }
     MediaMeta(p.length.toLong, width = sampleRate, height = channels,
       frames = if (blockAlign == 0) 0 else (dataLen / blockAlign).toInt)

@@ -65,9 +65,18 @@ object Nsw {
 
   /** adj rows: (c: Int, key: Long, v: Array[Double], nbrs: Array[Long]) —
     * neighbor lists carry KEYS (stable across save/load re-partitioning;
-    * search rebuilds the key -> index map per cluster). */
+    * search rebuilds the key -> index map per cluster).
+    *
+    * @param clusterLocal whether every cluster's rows are physically
+    *   co-located in one Spark partition. True for in-session builds
+    *   (build() repartitions by `c` and persists that layout); FALSE for a
+    *   load()ed graph — spark.read splits a big cluster's parquet across
+    *   scan partitions (~128 MB splits), and beam-searching a FRAGMENT
+    *   silently drops cross-fragment neighbor edges (recall loss). Search
+    *   reassembles clusters (one narrow-ish shuffle of only the probed
+    *   clusters' rows) whenever this is false. */
   final case class Graph(adj: DataFrame, centroids: Array[Array[Double]],
-                         params: Params) {
+                         params: Params, clusterLocal: Boolean = true) {
     def unpersist(): Unit = adj.unpersist()
   }
 
@@ -260,7 +269,14 @@ object Nsw {
     val qB = spark.sparkContext.broadcast(q)
     val kk = k
     val efq = ef
-    graph.adj.filter(col("c").isin(probes: _*))
+    val probed0 = graph.adj.filter(col("c").isin(probes: _*))
+    // a loaded graph's clusters may be split across scan partitions:
+    // reassemble each probed cluster into one partition so beamSearch sees
+    // the WHOLE adjacency (the probe filter pushes below this exchange, so
+    // partition-dir pruning still applies and only probed rows shuffle)
+    val probed = if (graph.clusterLocal) probed0
+                 else probed0.repartition(math.max(1, probes.size), col("c"))
+    probed
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
@@ -322,6 +338,8 @@ object Nsw {
       kCenters = centroids.length)
     val adj = spark.read.parquet(s"$dir/adj")
       .select(col("c").cast("int").as("c"), col("key"), col("v"), col("nbrs"))
-    Graph(adj, centroids, params)
+    // clusterLocal = false: the scan's split planning knows nothing about
+    // cluster boundaries — search must reassemble probed clusters
+    Graph(adj, centroids, params, clusterLocal = false)
   }
 }

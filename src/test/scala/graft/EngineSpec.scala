@@ -507,6 +507,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       hot.searchFiltered("t0", 10, new Array[Long](HotIndex.FilterSetCap + 1))
     }
+    // result-size guard: a low τ on a head term matching more rows than
+    // maxResults must fail loudly (never silently materialize O(corpus)
+    // rows on the driver) and point at the DataFrame path
+    val low = hot.searchThreshold("t0 t1", 0.0001)
+    assert(low.length > 4, "guard-test premise: head term matches many rows")
+    val capped = intercept[Exception] {
+      hot.searchThreshold("t0 t1", 0.0001, maxResults = low.length - 1)
+    }
+    def msgChain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgChain(t.getCause)
+    assert(msgChain(capped).contains("serving result cap"), msgChain(capped))
     hot.close()
   }
 

@@ -67,26 +67,28 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def decodedFor(ix: InvertedIndex, q: String): (Long, Long) = {
+    import spark.implicits._
+    val terms = core.Text.tokenize(q).distinct.toSeq
+    val plan = ix.dict.filter($"term".isin(terms: _*)).collect().map { e =>
+      val idf = core.Text.idf(e.df, ix.stats.numDocs)
+      e.term -> (idf, idf * core.Text.tfPartial(e.maxTf, e.minDl.toLong, ix.stats.avgdl))
+    }.toMap
+    val byShard = ix.blocks.filter($"term".isin(plan.keys.toSeq: _*))
+      .collect().groupBy(_.shard)
+    val st = new index.Wand.SearchStats
+    byShard.foreach { case (_, bs) =>
+      val termBlocks = bs.groupBy(_.term).toSeq.sortBy(_._1).flatMap {
+        case (t, arr) => plan.get(t).map { case (idf, ub) =>
+          (idf, ub, arr.sortBy(_.firstDocId)) }
+      }
+      index.Wand.topK(termBlocks, 10, ix.stats.avgdl, stats = st)
+    }
+    (st.decodedBlocks, st.totalBlocks)
+  }
+
   test("length layout decodes fewer blocks on head-term queries") {
     import spark.implicits._
-    def decodedFor(ix: InvertedIndex, q: String): (Long, Long) = {
-      val terms = core.Text.tokenize(q).distinct.toSeq
-      val plan = ix.dict.filter($"term".isin(terms: _*)).collect().map { e =>
-        val idf = core.Text.idf(e.df, ix.stats.numDocs)
-        e.term -> (idf, idf * core.Text.tfPartial(e.maxTf, e.minDl.toLong, ix.stats.avgdl))
-      }.toMap
-      val byShard = ix.blocks.filter($"term".isin(plan.keys.toSeq: _*))
-        .collect().groupBy(_.shard)
-      val st = new index.Wand.SearchStats
-      byShard.foreach { case (_, bs) =>
-        val termBlocks = bs.groupBy(_.term).toSeq.sortBy(_._1).flatMap {
-          case (t, arr) => plan.get(t).map { case (idf, ub) =>
-            (idf, ub, arr.sortBy(_.firstDocId)) }
-        }
-        index.Wand.topK(termBlocks, 10, ix.stats.avgdl, stats = st)
-      }
-      (st.decodedBlocks, st.totalBlocks)
-    }
     // single head-ish terms are where the declining block-max layout
     // prunes (multi-term sums keep bounds above θ via per-block max-tf;
     // ScaleProbe quantifies both — BASELINE.md round 3)
@@ -99,5 +101,37 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rL = dL.toDouble / tL
     assert(rL < rU, s"length layout should skip more: url=$dU/$tU length=$dL/$tL")
     info(f"decoded url-order=$dU/$tU (${rU * 100}%.1f%%) length-order=$dL/$tL (${rL * 100}%.1f%%)")
+  }
+
+  test("assumeSorted + docOrder=length applies the layout (round-3 silent no-op)") {
+    // ResumableBuild(assumeSorted) keeps the table's own partitioning, so
+    // the length layout sorts WITHIN partitions by (docLen, url). It must
+    // (a) not be silently ignored — the decode ratio win appears — and
+    // (b) stay score-identical per url.
+    import spark.implicits._
+    import graft.index.ResumableBuild
+    def rbuild(order: String): InvertedIndex = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-as-$order").toString
+      ResumableBuild.build(spark, corpus, dir,
+        IndexBuilder.Options(numShards = 4, rangePartitions = 8, docOrder = order),
+        numChunks = 2, assumeSorted = true)
+    }
+    val asUrl = rbuild("url")
+    val asLen = rbuild("length")
+    assert(asUrl.stats == asLen.stats)
+    for (q <- Seq("t7", "t5 t100 t2000")) {
+      val a = topWithUrls(asUrl, q, 15)
+      val b = topWithUrls(asLen, q, 15)
+      assert(a.map(_._2) == b.map(_._2), s"score sequence differs for '$q'")
+    }
+    def ratio(ix: InvertedIndex): Double = {
+      val (d, t) = Seq("t7", "t3").map(decodedFor(ix, _))
+        .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+      d.toDouble / t
+    }
+    val (rU, rL) = (ratio(asUrl), ratio(asLen))
+    assert(rL < rU,
+      f"assumeSorted length layout must skip more: url=$rU%.3f length=$rL%.3f")
+    info(f"assumeSorted decode ratio: url-order $rU%.3f, length-order $rL%.3f")
   }
 }

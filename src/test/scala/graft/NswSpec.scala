@@ -138,4 +138,27 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") || plan.contains("c#"),
       "expected partition pruning on the cluster column")
   }
+
+  test("fragmented loaded graph reassembles clusters before beam search") {
+    import spark.implicits._
+    // A load()ed graph's clusters arrive split across scan partitions at
+    // production sizes (~128 MB parquet splits). Beam-searching a FRAGMENT
+    // silently drops cross-fragment edges -> recall loss. Simulate the
+    // worst fragmentation (random row-level split) and require results
+    // identical to the in-session cluster-local graph at production knobs.
+    val rnd = new scala.util.Random(35)
+    val emb = clustered(rnd, 1200, 16, 4).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val fragmented = g.copy(adj = g.adj.repartition(13), clusterLocal = false)
+    for (seed <- 1 to 3) {
+      val q = randVec(new scala.util.Random(seed), 16)
+      val want = Nsw.topK(g, q, 10, nProbe = 3, ef = 32)
+        .as[(Long, Double)].collect().toSeq
+      val got = Nsw.topK(fragmented, q, 10, nProbe = 3, ef = 32)
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"fragmented graph diverged (seed $seed)")
+    }
+    g.unpersist()
+  }
 }

@@ -203,6 +203,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
                       "RIFF".getBytes("UTF-8"), Array.emptyByteArray)) {
       assert(Multimodal.decode(bytes) == Multimodal.decodeStub(bytes))
     }
+    // a TEXT payload that merely starts with "BM" and is >= 54 bytes must
+    // NOT reach the real parser: BITMAPINFOHEADER shape (size field 40,
+    // planes 1, legal bpp, positive dims) gates the dispatch
+    val bmText = ("BM" + "the rest of this is ordinary prose padded to be " +
+      "comfortably longer than a bitmap header").getBytes("UTF-8")
+    assert(!Multimodal.isBmp(bmText))
+    assert(Multimodal.decode(bmText) == Multimodal.decodeStub(bmText))
+    // corrupt headers (zero/negative width, zero height) reject to stub
+    for ((o, v) <- Seq((18, 0), (18, -12), (22, 0))) {
+      val bad = Multimodal.syntheticBmp(12, 7, 3L)
+      bad(o) = v.toByte; bad(o + 1) = (v >> 8).toByte
+      bad(o + 2) = (v >> 16).toByte; bad(o + 3) = (v >> 24).toByte
+      assert(!Multimodal.isBmp(bad), s"corrupt header @$o=$v must not dispatch")
+      assert(Multimodal.decode(bad) == Multimodal.decodeStub(bad))
+    }
     // the distributed extract path uses the real parser
     import spark.implicits._
     val docs = Seq((2L, Multimodal.syntheticBmp(12, 7, 2L)),
@@ -210,6 +225,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = Multimodal.extractMeta(docs, "doc_id").orderBy($"key").collect()
     assert(meta(0).getInt(2) == 12 && meta(0).getInt(3) == 7)
     assert(meta(1).getInt(2) == Multimodal.decodeStub("just text".getBytes("UTF-8")).width)
+  }
+
+  test("decodeWav terminates on adversarial/corrupt chunk sizes") {
+    // chunk size 0xFFFFFFF8 truncated to int is -8: the old walk advanced
+    // by ZERO forever (one bad doc pinned an executor task). The fixed
+    // walk stops at the first chunk whose declared size doesn't fit.
+    val evil = Multimodal.syntheticWav(8000, 1, 10, seed = 5L)
+    evil(40) = 0xF8.toByte; evil(41) = 0xFF.toByte
+    evil(42) = 0xFF.toByte; evil(43) = 0xFF.toByte // data size = 0xFFFFFFF8
+    assert(Multimodal.isWav(evil))
+    val m = Multimodal.decode(evil) // must return, not hang/throw
+    assert(m.width == 8000 && m.height == 1 && m.frames == 0,
+      s"fmt info kept, oversized data chunk dropped: $m")
+    // large positive declared size (would overflow int offsets)
+    val big = Multimodal.syntheticWav(44100, 2, 4, seed = 6L)
+    big(40) = 0xFE.toByte; big(41) = 0xFF.toByte
+    big(42) = 0xFF.toByte; big(43) = 0x7F.toByte // data size = 0x7FFFFFFE
+    assert(Multimodal.decode(big).frames == 0)
+    // a zero-size chunk is valid and must still advance past its header
+    val zero = Multimodal.syntheticWav(16000, 1, 0, seed = 7L)
+    assert(Multimodal.decode(zero).width == 16000)
+    // truncated fmt chunk: walk stops without reading past the payload
+    val trunc = java.util.Arrays.copyOf(Multimodal.syntheticWav(8000, 1, 10, 8L), 44)
+    trunc(40) = 99.toByte // declared data bytes > remaining 0 bytes
+    assert(Multimodal.decode(trunc).frames == 0)
   }
 
   test("bucketed embed near-dup == brute force; separated clusters prune pairs") {
