@@ -49,9 +49,9 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Spawn one pinned build JVM; returns build seconds. */
+  /** Spawn one pinned build JVM; returns (build seconds, per-phase JSON). */
   private def spawnBuild(cores: Int, corpus: String, indexDir: String,
-                         tmpBase: String): Double = {
+                         tmpBase: String): (Double, String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val hasTaskset = new java.io.File("/usr/bin/taskset").exists()
@@ -73,10 +73,14 @@ object Bench {
     p.waitFor()
     out.reverse.collectFirst {
       case l if l.contains("buildSecs") =>
-        "\"buildSecs\":([0-9.]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+        "\"buildSecs\":([0-9.]+)".r.findFirstMatchIn(l).map { m =>
+          val phases = "\"phases\":(\\{[^}]*\\})".r.findFirstMatchIn(l)
+            .map(_.group(1)).getOrElse("{}")
+          (m.group(1).toDouble, phases)
+        }
     }.flatten.getOrElse {
       System.err.println(s"[bench] build at $cores cores failed:\n${out.takeRight(20).mkString("\n")}")
-      Double.NaN
+      (Double.NaN, "{}")
     }
   }
 
@@ -168,21 +172,57 @@ object Bench {
       .map(_.split(",").toSeq.map(s => (s.trim.toInt, s"c${s.trim}")))
       .getOrElse(Seq((2, "c2"), (8, "c8"), (32, "c32")))
     val mins = Array.fill(levels.size)(Double.PositiveInfinity)
+    val samples = Array.fill(levels.size)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    val floorPhases = Array.fill(levels.size)("{}")
+    // wall budget for this phase: the host's noisy periods last minutes,
+    // so a noisy window needs MORE rounds to see the quiet floor at every
+    // level — but the driver's run must still terminate. Default 35 min.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2100").toInt
+    val phaseT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - phaseT0) / 1e9
+    // the floors are trustworthy once each level's MEDIAN sits near its
+    // floor (dispersion converged); a median 20%+ above the floor means
+    // the level is still noise-dominated and deserves more samples
+    def dispersionHigh: Boolean = samples.exists { s =>
+      val ok = s.filter(t => !t.isNaN).sorted
+      ok.nonEmpty && ok(ok.size / 2) / ok.head > 1.2
+    }
     var round = 0
     var improved = true
-    while (round < minRounds || (round < maxRounds && improved)) {
+    while (round < minRounds ||
+           (round < maxRounds && (improved || dispersionHigh) && elapsedS < budgetS)) {
       improved = false
       levels.zipWithIndex.foreach { case ((cores, tag), i) =>
-        val t = spawnBuild(cores, corpusPath, dir(tag), tmpBase)
+        val (t, ph) = spawnBuild(cores, corpusPath, dir(tag), tmpBase)
+        if (!t.isNaN) samples(i) += t
         if (t < mins(i) * 0.99) improved = true
-        if (t < mins(i)) mins(i) = t
+        if (t < mins(i)) { mins(i) = t; floorPhases(i) = ph }
         System.err.println(f"[bench] round $round c$cores: $t%.1f s (floor ${mins(i)}%.1f)")
       }
       round += 1
     }
-    if (mins.length != 3) { // probe mode: raw floors only
-      println(levels.map(_._2).zip(mins).map { case (l, t) => f""""$l":$t%.1f""" }
-        .mkString("{", ",", "}"))
+    def arr(s: Seq[Double]): String = s.map(t => f"$t%.1f").mkString("[", ",", "]")
+    def perLevel(f: Int => String): String =
+      levels.zipWithIndex.map { case ((_, tag), i) => s""""$tag":${f(i)}""" }
+        .mkString("{", ",", "}")
+    // structured scaling evidence: every sample, per-level floor/median/
+    // spread, and the floor run's per-phase wall times — enough for a
+    // BENCH reader to distinguish host noise (spread >> 1, phases flat
+    // at the floor) from engine serial fraction (a phase that refuses to
+    // shrink with cores) without any side-channel logs
+    val evidence =
+      s""""rounds":$round,"samples":${perLevel(i => arr(samples(i).toSeq))},""" +
+      s""""floor_secs":${perLevel(i => f"${mins(i)}%.1f")},""" +
+      s""""median_secs":${perLevel { i =>
+            val ok = samples(i).sorted; f"${if (ok.isEmpty) Double.NaN else ok(ok.size / 2)}%.1f"
+          }},""" +
+      s""""noise_spread":${perLevel { i =>
+            val ok = samples(i).sorted
+            f"${if (ok.isEmpty) Double.NaN else ok.last / ok.head}%.2f"
+          }},""" +
+      s""""phases_at_floor":${perLevel(i => floorPhases(i))}"""
+    if (mins.length != 3) { // probe mode: raw floors + evidence only
+      println(s"{$evidence}")
       scala.reflect.io.Path(tmpBase).deleteRecursively()
       return
     }
@@ -201,6 +241,7 @@ object Bench {
         + f""""warm_query_ms":$warmMs%.1f,"warm_df_query_ms":$warmDfMs%.1f,"""
         + f""""build":{"docs":$scaleDocs,"pinned_jvm_per_level":true,"""
         + f""""throughput_docs_per_sec":{"local2":${thr(t2)}%.0f,"local8":${thr(t8)}%.0f,"local32":${thr(t32)}%.0f},"""
-        + f""""scaling_efficiency":{"n2_to_n8":$eff28%.3f,"n8_to_n32":$eff832%.3f}}}""")
+        + f""""scaling_efficiency":{"n2_to_n8":$eff28%.3f,"n8_to_n32":$eff832%.3f},"""
+        + s"""$evidence}}""")
   }
 }

@@ -45,7 +45,15 @@ object BenchBuildOne {
       numChunks = chunks.toInt, assumeSorted = true,
       parallelChunks = parChunks.toInt)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"buildSecs":$secs%.2f,"docs":${ix.stats.numDocs}}""")
+    // per-phase wall seconds (chunk phases overlap under parallelChunks,
+    // so they sum past the total — each is its own wall window): the
+    // structured evidence that lets a BENCH reader separate host noise
+    // (total spikes, phases flat) from serial fraction (one phase
+    // growing with the level)
+    import scala.jdk.CollectionConverters._
+    val phases = ResumableBuild.lastPhaseSecs.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(f"""{"buildSecs":$secs%.2f,"docs":${ix.stats.numDocs},"phases":$phases}""")
     spark.stop()
   }
 }

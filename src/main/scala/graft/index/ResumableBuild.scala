@@ -27,6 +27,15 @@ import graft.core.Text
   */
 object ResumableBuild {
 
+  /** Wall seconds per named build phase of the LAST build() on this
+    * thread's JVM — written unconditionally (a few map puts per build).
+    * The bench subprocess serializes this into its JSON line so the
+    * driver-recorded BENCH file carries the per-phase evidence needed to
+    * tell host noise (spiky totals, flat phase interiors) from serial
+    * fraction (one phase growing with parallelism). Keys: "sort+count",
+    * "docs-write", "chunkN-write", "dict-write", "total". */
+  val lastPhaseSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
   /** @param failAfterChunks test hook: throw after k chunks committed
     *   (the kill-and-resume metamorphic test's injection point).
     * @param assumeSorted the corpus is already partitioned + url-sorted at
@@ -50,11 +59,15 @@ object ResumableBuild {
     // stage 1 (always recomputed — deterministic given the input): global
     // sort + per-partition counts -> dense docId offsets
     val parts = opts.rangePartitions
+    lastPhaseSecs.clear()
+    val buildT0 = System.nanoTime()
     def phase[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      lastPhaseSecs.put(name, secs)
       if (sys.props.get("graft.phaseTiming").isDefined)
-        println(f"[phase] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[phase] $name: $secs%.2f s")
       r
     }
     // assumeSorted: no cache — recomputation is deterministic (no range
@@ -150,6 +163,34 @@ object ResumableBuild {
       if (parallelChunks > 1)
         Some(java.util.concurrent.Executors.newFixedThreadPool(parallelChunks))
       else None
+
+    // dictionary partials, pipelined: as each chunk commits, its (tiny)
+    // per-term stats aggregate runs while the REMAINING chunks are still
+    // writing, so finalize only merges numChunks small partials instead of
+    // scanning every block row after the last-chunk barrier — the dict
+    // scan was the one serial job left between "last chunk done" and
+    // "snapshot committed" (it cost the same wall at every parallelism
+    // level: an Amdahl term the 2->8 scaling criterion pays directly).
+    // Partials are idempotent (skipped when committed) so resume finds or
+    // recomputes them; merge(sum/max/min) over disjoint chunks is exactly
+    // the single-scan aggregation, so the dict is value-identical.
+    def dictPartPath(c: Int): String = s"$dir/dictpart/${chunkId(c)}"
+    def writeDictPartial(c: Int): Unit = {
+      val p = new Path(dictPartPath(c))
+      if (!fs.exists(new Path(p, "_SUCCESS")))
+        phase(s"dictpart$c") {
+          IndexBuilder.dictFromBlocks(spark,
+            SegmentCatalog.readBlockChunks(spark, dir, Seq(chunkId(c))))
+            .write.mode("overwrite").parquet(p.toString)
+        }
+    }
+    val dictPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val dictFutures = new java.util.concurrent.ConcurrentLinkedQueue[
+      java.util.concurrent.Future[_]]()
+    def submitDictPartial(c: Int): Unit =
+      dictFutures.add(dictPool.submit(new Runnable {
+        def run(): Unit = writeDictPartial(c)
+      }))
     def runChunk(c: Int): Unit = {
       val segDir = new Path(SegmentCatalog.blocksChunkPath(dir, chunkId(c)))
       val maniPath = new Path(s"$dir/manifest/v$buildVersion-chunk-$c.json")
@@ -196,44 +237,66 @@ object ResumableBuild {
         writeManifest(fs, maniPath, row)
       }
     }
-    pool match {
-      case Some(p) =>
-        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(p)
-        val futs = scala.concurrent.Future(writeDocs()) +:
-          chunks.map(c => scala.concurrent.Future(runChunk(c)))
-        futs.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-        p.shutdown()
-      case None =>
-        writeDocs()
-        chunks.foreach { c =>
-          runChunk(c)
-          doneCount += 1
-          failAfterChunks.foreach { k =>
-            if (doneCount >= k && doneCount < chunks.size)
-              throw new RuntimeException(s"injected failure after $doneCount chunks")
+    try {
+      pool match {
+        case Some(p) =>
+          implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(p)
+          val futs = scala.concurrent.Future(writeDocs()) +:
+            chunks.map(c => scala.concurrent.Future {
+              runChunk(c); submitDictPartial(c)
+            })
+          futs.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+          p.shutdown()
+        case None =>
+          writeDocs()
+          chunks.foreach { c =>
+            runChunk(c)
+            submitDictPartial(c)
+            doneCount += 1
+            failAfterChunks.foreach { k =>
+              if (doneCount >= k && doneCount < chunks.size)
+                throw new RuntimeException(s"injected failure after $doneCount chunks")
+            }
           }
-        }
+      }
+    } finally {
+      // drain in-flight partial jobs even on the failure path: a same-JVM
+      // resume must never race a background write to the same partial dir
+      dictPool.shutdown()
+      dictPool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
     }
+    dictFutures.forEach(_.get()) // surface any partial-write failure
     // stats ride on the docs write (observe) — no read-back agg job
     val docs = SegmentCatalog.readDocChunks(spark, dir, Seq(docsChunkId))
     val totTok = if (numDocs == 0) 0L else totTokObserved
     val avgdl = if (numDocs == 0) 0.0 else totTok.toDouble / numDocs
     val stats = IndexStats(numDocs, totTok, avgdl, nShards)
 
-    // finalize: ONE map-side-combined aggregation over the committed chunk
-    // files builds the dictionary (column pruning reaches the parquet scan:
-    // only the five small stat columns are decoded, never payload bytes),
-    // then EVERYTHING (chunks + dict + stats) publishes as one atomic
-    // snapshot commit — readers never see a build mid-flight.
-    // (Earlier rounds wrote a dictionary partial per chunk and merged the
-    // partials here; measured head-to-head, the 8 extra jobs' parquet
-    // round-trips cost more wall AND more CPU than this single pruned
-    // scan, at every parallelism level.)
+    // finalize: merge the pipelined per-chunk dictionary partials (each a
+    // tiny per-term stats table computed while LATER chunks were still
+    // writing), then EVERYTHING (chunks + dict + stats) publishes as one
+    // atomic snapshot commit — readers never see a build mid-flight.
+    // A resumed build may find committed chunks whose partial never got
+    // written (crash between chunk commit and partial commit): recompute
+    // just those. sum/max/min over disjoint chunks == the single full
+    // scan, so the merged dict is value-identical to it.
+    // (Round-2 measured SERIAL per-chunk partials slower than one pruned
+    // scan; the difference here is the partials ride the chunk pipeline's
+    // idle cores — only the small merge remains after the barrier.)
     val version = buildVersion
     val dict = phase("dict-write") {
-      val merged = IndexBuilder.dictFromBlocks(spark,
-        SegmentCatalog.readBlockChunks(spark, dir, chunks.map(chunkId)))
+      chunks.foreach(writeDictPartial) // no-op when committed
+      import spark.implicits._
+      val merged = spark.read
+        .parquet(chunks.map(dictPartPath): _*)
+        .groupBy($"term").agg(
+          sum($"df").cast("long").as("df"),
+          sum($"cf").cast("long").as("cf"),
+          max($"maxTf").cast("int").as("maxTf"),
+          min($"minDl").cast("int").as("minDl"))
+        .as[DictEntry]
       SegmentCatalog.writeDict(merged, dir, version)
+      fs.delete(new Path(s"$dir/dictpart"), true) // partials are scratch
       SegmentCatalog.readDictVersion(spark, dir, version)
     }
     val snap = SegmentCatalog.commit(spark, dir, SegmentCatalog.Snapshot(
@@ -244,6 +307,7 @@ object ResumableBuild {
       maxStreamBatch = prevSnap.map(_.maxStreamBatch).getOrElse(-1L),
       nextDocId = math.max(numDocs, prevSnap.map(_.nextDocId).getOrElse(0L))))
     if (!assumeSorted) sorted.unpersist()
+    lastPhaseSecs.put("total", (System.nanoTime() - buildT0) / 1e9)
     InvertedIndex(spark, docs, SegmentCatalog.readBlocks(spark, dir, snap), dict, stats)
   }
 
