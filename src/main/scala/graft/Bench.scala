@@ -100,6 +100,7 @@ object Bench {
 
     // ---- phase 1: gate queries on sfDir ----
     val spark = session(cpus)
+    var warmAnnMs = 0.0
     val (queryTimes, warmMs, warmDfMs) = if (scaleOnly) {
       (Seq.empty[(String, Double)], 0.0, 0.0)
     } else {
@@ -126,6 +127,20 @@ object Bench {
         ix.search(Gate.Queries(i % Gate.Queries.size)._2, 10).collect()
       }).sorted
       hot.close()
+      // warm ANN serving latency (HotAnn — the vector twin of HotIndex):
+      // cached per-cluster graphs + probe-pruned runJob, production knobs
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val gAnn = graft.ops.Nsw.build(spark, emb, "vec_id", "embedding",
+        graft.ops.Nsw.Params(m = 8, efConstruction = 32, kCenters = 8, iters = 2))
+      val hotAnn = graft.ops.HotAnn(gAnn)
+      val qvs = (0L to 3L).map(i => GateOps.queryVec(spark, sfDir, i))
+      hotAnn.topK(qvs.head, 10, nProbe = 4, ef = 48) // warmup
+      val latAnn = (0 until 9).map(i => timeS {
+        hotAnn.topK(qvs((i % qvs.size).toInt), 10, nProbe = 4, ef = 48)
+      }).sorted
+      hotAnn.close()
+      gAnn.unpersist()
+      warmAnnMs = latAnn(latAnn.size / 2) * 1000
       (qt, latHot(latHot.size / 2) * 1000, latDf(latDf.size / 2) * 1000)
     }
     if (queriesOnly) { // sf-escalation probe: phase 1 only, raw JSON line
@@ -239,6 +254,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
         + f""""warm_query_ms":$warmMs%.1f,"warm_df_query_ms":$warmDfMs%.1f,"""
+        + f""""warm_ann_ms":$warmAnnMs%.1f,"""
         + f""""build":{"docs":$scaleDocs,"pinned_jvm_per_level":true,"""
         + f""""throughput_docs_per_sec":{"local2":${thr(t2)}%.0f,"local8":${thr(t8)}%.0f,"local32":${thr(t32)}%.0f},"""
         + f""""scaling_efficiency":{"n2_to_n8":$eff28%.3f,"n8_to_n32":$eff832%.3f},"""

@@ -79,7 +79,7 @@ object GateOps {
 
   // ---------- similarity search ----------
 
-  private def queryVec(spark: SparkSession, sfDir: String, id: Long): Seq[Float] = {
+  private[graft] def queryVec(spark: SparkSession, sfDir: String, id: Long): Seq[Float] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") === id).select(col("embedding"))

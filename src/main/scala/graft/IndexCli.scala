@@ -124,9 +124,13 @@ object IndexCli {
         spark.sparkContext.setLogLevel("WARN")
         val graceMs = if (args.length > 2) args(2).toLong else 86400000L
         val r = SegmentCatalog.removeOrphans(spark, args(1), graceMs)
-        if (r.isEmpty) println("no orphans")
+        // crashed ANN artifact saves (NSW/PQ/IVF payload dirs whose
+        // commit-marker metadata never published) under the same root
+        val art = SegmentCatalog.gcArtifacts(spark, args(1), graceMs)
+        if (r.isEmpty && art.isEmpty) println("no orphans")
         else println(s"removed orphans: blocks=${r.blockChunks.mkString(",")} " +
-          s"docs=${r.docChunks.mkString(",")} dicts=${r.dictVersions.mkString(",")}")
+          s"docs=${r.docChunks.mkString(",")} dicts=${r.dictVersions.mkString(",")} " +
+          s"artifacts=${art.mkString(",")}")
         spark.stop()
 
       case "stats" =>

@@ -316,8 +316,11 @@ object SegmentCatalog {
     val od = orphansUnder("docs", "chunk=", liveD)
     val odict = orphansUnder("dict", "v=",
       id => id.toLongOption.forall(liveDict)) // unparseable -> keep
+    // dictionary-partial scratch (dictpart/<chunkId>): always deleted by a
+    // successful finalize, so any aged survivor is a crashed build's debris
+    val oscratch = orphansUnder("dictpart", "", _ => false)
     if (!dryRun) {
-      (ob ++ od ++ odict).foreach { case (_, p) => fs.delete(p, true) }
+      (ob ++ od ++ odict ++ oscratch).foreach { case (_, p) => fs.delete(p, true) }
       // drop the dead chunks' manifest lineage rows (bulk builds name
       // theirs v<V>-chunk-<c>.json for chunk id v<V>-<c>; streaming
       // appends name theirs chunk-<cid>.json)
@@ -332,6 +335,59 @@ object SegmentCatalog {
     }
     OrphanReport(ob.map(_._1), od.map(_._1),
       odict.map(_._1).flatMap(_.toLongOption))
+  }
+
+  /** Atomic small-file publish shared by every artifact writer (the
+    * catalog hint, NSW/PQ/IVF metadata): write to a dot-tmp sibling, then
+    * rename over the target — readers see the old bytes or the new bytes,
+    * never a torn file. */
+  def publishJson(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(bytes); out.close()
+    if (!fs.rename(tmp, p)) { // clobber-refusing FS fallback
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"publish failed at $p")
+    }
+  }
+
+  /** ANN artifact layouts share ONE commit protocol: payload dir(s)
+    * first, metadata JSON last via [[publishJson]] — the metadata file IS
+    * the commit marker. This maps each payload dir name to its marker. */
+  private val ArtifactMarkers = Seq(
+    "adj" -> "meta.json",           // Nsw.save
+    "codes" -> "model.json",        // Pq.save
+    "assigned" -> "centroids.json") // Ann.saveIvf
+
+  /** Collect crashed ANN artifact saves (payload written, commit-marker
+    * metadata never published) under `dir` and its immediate children —
+    * the ANN-side twin of [[removeOrphans]]. Age-guarded like it: only
+    * payload dirs older than `graceMs` are touched, so an in-flight save
+    * is never collected. Returns the deleted (or, dryRun, deletable)
+    * payload paths. */
+  def gcArtifacts(spark: SparkSession, dir: String,
+                  graceMs: Long = 86400000L,
+                  dryRun: Boolean = false): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Seq.empty
+    val nowMs = System.currentTimeMillis()
+    val candidates = root +: fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+    val dead = candidates.flatMap { base =>
+      ArtifactMarkers.flatMap { case (payload, marker) =>
+        val pp = new Path(base, payload)
+        if (fs.exists(pp) && !fs.exists(new Path(base, marker)) &&
+            nowMs - fs.getFileStatus(pp).getModificationTime >= graceMs)
+          Some(pp)
+        else None
+      }
+    }
+    if (!dryRun) dead.foreach(fs.delete(_, true))
+    dead.map(_.toString)
   }
 
   /** Drop all but the `keepLast` most recent COMMITTED snapshots and

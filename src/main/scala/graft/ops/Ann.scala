@@ -120,8 +120,11 @@ object Ann {
     (best, bestD)
   }
 
-  /** IVF index: corpus partitioned by nearest centroid. */
-  final case class Ivf(assigned: DataFrame /* (key, c, v) */ ,
+  /** IVF index: corpus partitioned by nearest centroid. Vectors ride as
+    * float32 (what the reference stores, vector/types/VectorFloat.java)
+    * and widen to double inside the scoring kernel — identical similarity
+    * bits (the source embeddings are float32), half the memory/shuffle. */
+  final case class Ivf(assigned: DataFrame /* (key, c, v: array<float>) */ ,
                        centroids: Array[Array[Double]])
 
   def buildIvf(spark: SparkSession, emb: DataFrame, keyCol: String, vecCol: String,
@@ -129,36 +132,35 @@ object Ann {
     import spark.implicits._
     val centroids = kmeansCentroids(spark, emb, keyCol, vecCol, kCenters, iters)
     val cB = spark.sparkContext.broadcast(centroids)
-    val assigned = emb.select(col(keyCol).as("key"), vd(col(vecCol)).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (k, v) => (k, nearestCentroid(v.toArray, cB.value), v) }
+    val assigned = emb.select(col(keyCol).as("key"),
+        transform(col(vecCol), x => x.cast("float")).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (k, v) =>
+        val arr = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        (k, nearestCentroid(arr, cB.value), v)
+      }
       .toDF("key", "c", "v")
     Ivf(assigned.persist(), centroids)
   }
 
-  /** Persist an IVF index: centroids as format-versioned JSON, the
-    * assignment parquet PARTITIONED BY cluster id — so a loaded index's
-    * probe filter (`c IN (...)`) prunes whole partition directories at
-    * the file level, the real 10^12-vector serving layout (a session-only
-    * assignment re-runs k-means + a full corpus pass per session). */
+  /** Persist an IVF index: assignment parquet PARTITIONED BY cluster id —
+    * so a loaded index's probe filter (`c IN (...)`) prunes whole
+    * partition directories at the file level, the real 10^12-vector
+    * serving layout (a session-only assignment re-runs k-means + a full
+    * corpus pass per session). Payload first, centroids.json LAST as the
+    * atomic commit marker (shared artifact protocol —
+    * SegmentCatalog.publishJson/gcArtifacts). */
   def saveIvf(spark: SparkSession, ivf: Ivf, dir: String): Unit = {
+    ivf.assigned.write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("formatVersion", Pq.FormatVersion)
     root.set("centroids", mapper.valueToTree(ivf.centroids)
       : com.fasterxml.jackson.databind.JsonNode)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
-      spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.centroids.json.tmp")
-    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids.json")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(root)); out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"centroid publish failed at $p")
-    }
-    ivf.assigned.write.mode("overwrite").partitionBy("c").parquet(s"$dir/assigned")
+    graft.index.SegmentCatalog.publishJson(spark, s"$dir/centroids.json",
+      mapper.writeValueAsBytes(root))
   }
 
   def loadIvf(spark: SparkSession, dir: String): Ivf = {
@@ -175,8 +177,10 @@ object Ann {
       val cent = cn.get(c)
       Array.tabulate(cent.size())(cent.get(_).asDouble())
     }
+    // pre-r4 saves stored double vectors; normalize to the float layout
     val assigned = spark.read.parquet(s"$dir/assigned")
-      .select(col("key"), col("c").cast("int").as("c"), col("v"))
+      .select(col("key"), col("c").cast("int").as("c"),
+        transform(col("v"), x => x.cast("float")).as("v"))
     Ivf(assigned, centroids)
   }
 
@@ -193,7 +197,7 @@ object Ann {
     }.sortBy(_._2).take(nProbe).map(_._1)
     val qc = typedlit(q.toSeq)
     ivf.assigned.filter(col("c").isin(order.toSeq: _*))
-      .select(col("key"), cosine(col("v"), qc).as("sim"))
+      .select(col("key"), cosine(vd(col("v")), qc).as("sim"))
       .orderBy(col("sim").desc, col("key").asc)
       .limit(k)
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import scala.collection.mutable
 
@@ -19,7 +20,7 @@ import scala.collection.mutable
   *  - PARTITION by coarse k-means cluster (the IVF layer this repo
   *    already has — `Ann.kmeansCentroids`): each cluster's vectors land in
   *    one task, sized by `kCenters` (10^12 vectors / 10^6 centers ≈ 10^6
-  *    nodes ≈ 0.5 GB per graph — an executor-resident unit).
+  *    nodes per graph — an executor-resident unit).
   *  - BUILD one NSW graph per cluster inside `mapPartitions` (no driver
   *    state, no cross-cluster edges): insert nodes in key order; each new
   *    node beam-searches the partial graph (efConstruction frontier) and
@@ -30,8 +31,25 @@ import scala.collection.mutable
   *  - SEARCH probes the `nProbe` nearest clusters only (centroid ranking
   *    on the driver, file-level partition pruning on a loaded graph) and
   *    runs the reference-style best-first beam (`ef` frontier) inside
-  *    each probed cluster; global top-k is a tiny sorted merge of
-  *    nProbe·k candidates.
+  *    each probed cluster, entering at the cluster's MEDIOID (the node
+  *    nearest its routing centroid — jvector refreshes an approximate
+  *    medioid entry the same way, GraphIndexBuilder.java:552-576); global
+  *    top-k is a tiny sorted merge of nProbe·k candidates. Searches
+  *    report `visitedCount` (graph/SearchResult.java:22-53) so
+  *    recall-vs-cost curves measure WORK, not just knobs.
+  *  - MUTATE incrementally (the reference's core contract —
+  *    addGraphNode GraphIndexBuilder.java:314-362, markNodeDeleted /
+  *    removeDeletedNodes :427-531): [[append]] inserts new vectors into
+  *    only the touched clusters' graphs; [[delete]] tombstones keys that
+  *    search then traverses THROUGH but never returns (the `Bits
+  *    acceptOrds` pattern, GraphSearcher.java:191,258); [[compact]]
+  *    purges tombstones by rebuilding only the affected clusters.
+  *
+  * Vectors are stored float32 (what the reference stores,
+  * vector/types/VectorFloat.java) and widened to double inside every
+  * kernel: the arithmetic sees exactly the doubles the old double-array
+  * storage saw (the source embeddings are float32), so scores are
+  * bit-identical while the resident set and shuffle volume halve.
   *
   * Exactness/recall contract (mirrors `Ann.ivfTopK`'s nProbe == kCenters
   * and `Pq.topK`'s full-rerank gate modes): at nProbe == kCenters and
@@ -39,22 +57,26 @@ import scala.collection.mutable
   * degenerates to the exact scan — that is the gate configuration, so the
   * DuckDB oracle is brute force. Production knobs (nProbe < kCenters,
   * ef ~ 4k) trade recall for work; NswSpec pins recall@10 on both random
-  * and clustered corpora, and the recall-vs-ef curve is recorded in
-  * BASELINE.md (tools/recall_graph_r3.json).
+  * and clustered corpora, and the recall-vs-cost curve is recorded in
+  * BASELINE.md.
   *
   * Determinism: insertion order, beam tie-breaks, and prune tie-breaks
   * all order by (similarity, then smaller node id) — given the centroids,
-  * each cluster's adjacency is a pure function of its member set, so
-  * rebuilds reproduce bit-identical graphs. (The centroids themselves
-  * inherit `Ann.kmeansCentroids`' contract: the training SAMPLE is
-  * partitioning-independent, but partial-sum addition order follows the
-  * input partitioning, so exact centroid bits are reproducible for a
-  * given input layout — same as the IVF path.)
+  * each cluster's adjacency is a pure function of its member set plus the
+  * append history (batch boundaries), so rebuilds reproduce bit-identical
+  * graphs. (The centroids themselves inherit `Ann.kmeansCentroids`'
+  * contract: the training SAMPLE is partitioning-independent, but
+  * partial-sum addition order follows the input partitioning, so exact
+  * centroid bits are reproducible for a given input layout — same as the
+  * IVF path.)
   */
 object Nsw {
 
-  /** On-disk format of a saved graph (meta.json + adj parquet). */
-  val FormatVersion = 1L
+  /** On-disk format of a saved graph (meta.json + adj parquet).
+    * v2 (round 4): float32 vectors, per-cluster medioid entry flag,
+    * tombstone list in meta. v1 graphs load with entry = smallest-key
+    * node (the v1 search behavior) and no tombstones. */
+  val FormatVersion = 2L
 
   /** @param m             edges added per insert (degree cap = 2m)
     * @param efConstruction beam width while building
@@ -63,9 +85,10 @@ object Nsw {
   final case class Params(m: Int = 8, efConstruction: Int = 48,
                           kCenters: Int = 8, iters: Int = 2)
 
-  /** adj rows: (c: Int, key: Long, v: Array[Double], nbrs: Array[Long]) —
-    * neighbor lists carry KEYS (stable across save/load re-partitioning;
-    * search rebuilds the key -> index map per cluster).
+  /** adj rows: (c: Int, key: Long, v: Array[Float], nbrs: Array[Long],
+    * entry: Boolean) — neighbor lists carry KEYS (stable across save/load
+    * re-partitioning; search rebuilds the key -> index map per cluster);
+    * `entry` marks the cluster's medioid.
     *
     * @param clusterLocal whether every cluster's rows are physically
     *   co-located in one Spark partition. True for in-session builds
@@ -73,39 +96,73 @@ object Nsw {
     *   load()ed graph — spark.read splits a big cluster's parquet across
     *   scan partitions (~128 MB splits), and beam-searching a FRAGMENT
     *   silently drops cross-fragment neighbor edges (recall loss). Search
-    *   reassembles clusters (one narrow-ish shuffle of only the probed
-    *   clusters' rows) whenever this is false. */
+    *   reassembles clusters (one shuffle of only the probed clusters'
+    *   rows) whenever this is false.
+    * @param deleted tombstoned keys: search traverses through them but
+    *   never returns them; [[compact]] purges them. Driver-resident and
+    *   broadcast per query — the "small live deny set" regime, with
+    *   compaction as the durable path (same design language as the BM25
+    *   side's HotIndex deny sets). */
   final case class Graph(adj: DataFrame, centroids: Array[Array[Double]],
-                         params: Params, clusterLocal: Boolean = true) {
+                         params: Params, clusterLocal: Boolean = true,
+                         deleted: Array[Long] = Array.emptyLongArray) {
     def unpersist(): Unit = adj.unpersist()
   }
 
-  /** Scalar cosine kernel — same accumulation order as the codegen
-    * CosineSim expression (VectorExprs.scala:95-103), so beam scores are
-    * bit-identical to the brute-force scan's. */
-  private[ops] def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+  /** Per-query work metrics (jvector SearchResult.java:22-53): nodes
+    * whose vectors were scored, summed over probed clusters. */
+  final class SearchMetrics {
+    @volatile var visited: Long = 0L
+  }
+
+  /** Widening cosine kernels — float32 storage, double arithmetic in the
+    * same accumulation order as the codegen CosineSim expression
+    * (VectorExprs.scala:95-103), so beam scores are bit-identical to the
+    * brute-force scan's (the gate oracle casts the float embeddings to
+    * double the same way). */
+  private[ops] def cosineQF(a: Array[Double], b: Array[Float]): Double = {
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < a.length) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      val bi = b(i).toDouble
+      dot += a(i) * bi; na += a(i) * a(i); nb += bi * bi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private[ops] def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i).toDouble
+      val bi = b(i).toDouble
+      dot += ai * bi; na += ai * ai; nb += bi * bi; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Best-first beam search over nodes [0, n) (GraphSearcher.java:245-306
-    * re-expressed): returns up to `ef` (idx, sim) sorted by
-    * (sim desc, idx asc). ef >= n degenerates to the exact scan (the
-    * frontier admits every node) — the gate's exact mode. */
-  private[ops] def beamSearch(q: Array[Double], vecs: Array[Array[Double]],
+    * re-expressed): returns (results, visitedCount) where results are up
+    * to `ef` ACCEPTED (idx, sim) sorted by (sim desc, idx asc). ef >= n
+    * degenerates to the exact scan (the frontier admits every node) — the
+    * gate's exact mode. `accept` filters RESULT admission only: the beam
+    * traverses through rejected (tombstoned) nodes, exactly the
+    * reference's `Bits acceptOrds` contract (GraphSearcher.java:191,258 —
+    * deleted nodes keep routing until cleanup()). */
+  private[ops] def beamSearch(q: Array[Double], vecs: Array[Array[Float]],
                               adj: Array[Array[Int]], n: Int, entry: Int,
-                              ef: Int): Array[(Int, Double)] = {
-    if (n <= 0) return Array.empty
+                              ef: Int, accept: Int => Boolean = null)
+      : (Array[(Int, Double)], Int) = {
+    if (n <= 0) return (Array.empty, 0)
     if (ef >= n) {
-      val all = Array.tabulate(n)(i => (i, cosineSim(q, vecs(i))))
-      java.util.Arrays.sort(all, ResultOrder)
-      return all
+      val all = Array.tabulate(n)(i => (i, cosineQF(q, vecs(i))))
+      val kept = if (accept == null) all else all.filter(p => accept(p._1))
+      java.util.Arrays.sort(kept, ResultOrder)
+      return (kept, n)
     }
     // max-heap: higher sim first, tie -> smaller idx first
     val candOrd = new Ordering[(Double, Int)] {
@@ -124,10 +181,13 @@ object Nsw {
     val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
     val res = mutable.PriorityQueue.empty[(Double, Int)](worstOrd)
     val visited = new java.util.BitSet(n)
-    val es = cosineSim(q, vecs(entry))
+    var visitedCount = 0
+    def admit(s: Double, i: Int): Boolean = accept == null || accept(i)
+    val es = cosineQF(q, vecs(entry))
     visited.set(entry)
+    visitedCount += 1
     cand.enqueue((es, entry))
-    res.enqueue((es, entry))
+    if (admit(es, entry)) res.enqueue((es, entry))
     while (cand.nonEmpty) {
       val (cs, ci) = cand.dequeue()
       if (res.size >= ef && cs < res.head._1) {
@@ -139,11 +199,14 @@ object Nsw {
           val nb = nbrs(j)
           if (nb < n && !visited.get(nb)) {
             visited.set(nb)
-            val s = cosineSim(q, vecs(nb))
+            visitedCount += 1
+            val s = cosineQF(q, vecs(nb))
             if (res.size < ef || s > res.head._1) {
               cand.enqueue((s, nb))
-              res.enqueue((s, nb))
-              if (res.size > ef) res.dequeue()
+              if (admit(s, nb)) {
+                res.enqueue((s, nb))
+                if (res.size > ef) res.dequeue()
+              }
             }
           }
           j += 1
@@ -152,7 +215,7 @@ object Nsw {
     }
     val out = res.dequeueAll.toArray.map(p => (p._2, p._1))
     java.util.Arrays.sort(out, ResultOrder)
-    out
+    (out, visitedCount)
   }
 
   private val ResultOrder = new java.util.Comparator[(Int, Double)] {
@@ -172,7 +235,7 @@ object Nsw {
     * recall@10 0.8 with closest-M vs 1.0 with this rule). Spilled
     * candidates backfill remaining slots (keep-pruned-connections). */
   private def selectDiverse(cands: Array[(Int, Double)], limit: Int,
-                            vecs: Array[Array[Double]]): Array[Int] = {
+                            vecs: Array[Array[Float]]): Array[Int] = {
     val kept = new mutable.ArrayBuffer[Int](limit)
     val spill = new mutable.ArrayBuffer[Int]()
     var t = 0
@@ -181,7 +244,7 @@ object Nsw {
       var occluded = false
       var k = 0
       while (!occluded && k < kept.size) {
-        if (cosineSim(vecs(c), vecs(kept(k))) > simToBase) occluded = true
+        if (cosineFF(vecs(c), vecs(kept(k))) > simToBase) occluded = true
         k += 1
       }
       if (occluded) spill += c else kept += c
@@ -190,73 +253,307 @@ object Nsw {
     (kept ++ spill.take(limit - kept.size)).toArray
   }
 
-  /** One cluster's NSW adjacency (insert in index order; callers pass
-    * vectors sorted by key so the result depends only on the cluster's
-    * membership, not on task scheduling). */
-  private[ops] def buildCluster(vecs: Array[Array[Double]],
-                                m: Int, efC: Int): Array[Array[Int]] = {
-    val n = vecs.length
-    val adj = Array.fill(n)(Array.empty[Int])
+  /** Insert node `i` into the partial graph over vecs[0, i): beam-search
+    * for natural candidates, diversity-prune, link bidirectionally, prune
+    * overflowing neighbor lists (GraphIndexBuilder.addGraphNode:314-362,
+    * re-expressed single-threaded per cluster — Spark's task isolation
+    * replaces its concurrent-insert protocol). Shared verbatim by the
+    * bulk build and [[append]], which is what makes "append ≡ the build
+    * having seen those nodes" literal. */
+  private def insertNode(vecs: Array[Array[Float]], adj: Array[Array[Int]],
+                         i: Int, m: Int, efC: Int): Unit = {
     val maxDeg = 2 * m
     def prune(j: Int): Unit = if (adj(j).length > maxDeg) {
-      val scored = adj(j).map(x => (x, cosineSim(vecs(j), vecs(x))))
+      val scored = adj(j).map(x => (x, cosineFF(vecs(j), vecs(x))))
       java.util.Arrays.sort(scored, ResultOrder)
       adj(j) = selectDiverse(scored, maxDeg, vecs)
     }
+    val qd = new Array[Double](vecs(i).length)
+    var d = 0
+    while (d < qd.length) { qd(d) = vecs(i)(d).toDouble; d += 1 }
+    val (cands, _) = beamSearch(qd, vecs, adj, i, 0, efC)
+    val nbrs = selectDiverse(cands, math.min(m, cands.length), vecs)
+    var t = 0
+    while (t < nbrs.length) {
+      val j = nbrs(t)
+      adj(i) = adj(i) :+ j
+      adj(j) = adj(j) :+ i
+      prune(j)
+      t += 1
+    }
+    prune(i)
+  }
+
+  /** One cluster's NSW adjacency (insert in index order; callers pass
+    * vectors sorted by key so the result depends only on the cluster's
+    * membership, not on task scheduling). */
+  private[ops] def buildCluster(vecs: Array[Array[Float]],
+                                m: Int, efC: Int): Array[Array[Int]] = {
+    val n = vecs.length
+    val adj = Array.fill(n)(Array.empty[Int])
     var i = 1
     while (i < n) {
-      val cands = beamSearch(vecs(i), vecs, adj, i, 0, efC)
-      val nbrs = selectDiverse(cands, math.min(m, cands.length), vecs)
-      var t = 0
-      while (t < nbrs.length) {
-        val j = nbrs(t)
-        adj(i) = adj(i) :+ j
-        adj(j) = adj(j) :+ i
-        prune(j)
-        t += 1
-      }
-      prune(i)
+      insertNode(vecs, adj, i, m, efC)
       i += 1
     }
     adj
   }
 
+  /** The cluster's medioid: node most similar to the routing centroid
+    * (ties -> smaller idx). The search entry point, refreshed on every
+    * build/append/compact of the cluster (jvector
+    * GraphIndexBuilder.approximateMedioid:552-576). */
+  private[ops] def entryOf(vecs: Array[Array[Float]],
+                           centroid: Array[Double]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < vecs.length) {
+      val s = cosineQF(centroid, vecs(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** One cluster materialized for the per-partition kernels: keys sorted
+    * ascending, float32 vectors, index-based adjacency, medioid entry. */
+  private[ops] final case class ClusterArrays(keys: Array[Long],
+                                              vecs: Array[Array[Float]],
+                                              adj: Array[Array[Int]],
+                                              entry: Int)
+
+  /** Single-pass assembly of one cluster's rows (sorted by key; neighbor
+    * KEYS remapped to local indices, cross-cluster strays dropped — they
+    * cannot exist in a well-formed graph). Pre-sized, no groupBy/sortBy
+    * intermediate copies (round-3 verdict: the old path buffered a
+    * partition ~3x). */
+  private[ops] def assemble(rows: mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)])
+      : ClusterArrays = {
+    val sorted = rows.sortInPlaceBy(_._1)
+    val n = sorted.length
+    val keys = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) { keys(i) = sorted(i)._1; vecs(i) = sorted(i)._2; i += 1 }
+    val idxOf = new java.util.HashMap[Long, Integer](n * 2)
+    i = 0
+    while (i < n) { idxOf.put(keys(i), i); i += 1 }
+    val adj = new Array[Array[Int]](n)
+    var entry = 0
+    i = 0
+    while (i < n) {
+      val nk = sorted(i)._3
+      val buf = new mutable.ArrayBuilder.ofInt
+      buf.sizeHint(nk.length)
+      var j = 0
+      while (j < nk.length) {
+        val x = idxOf.get(nk(j))
+        if (x != null) buf += x.intValue()
+        j += 1
+      }
+      adj(i) = buf.result()
+      if (sorted(i)._4) entry = i
+      i += 1
+    }
+    ClusterArrays(keys, vecs, adj, entry)
+  }
+
+  private def toFloatArray(s: Seq[Float]): Array[Float] = s.toArray
+
+  /** Emit a built cluster back to rows. */
+  private def emitRows(c: Int, keys: Array[Long], vecs: Array[Array[Float]],
+                       adj: Array[Array[Int]], entry: Int)
+      : Iterator[(Int, Long, Seq[Float], Seq[Long], Boolean)] =
+    keys.indices.iterator.map { i =>
+      (c, keys(i), vecs(i).toSeq, adj(i).map(keys(_)).toSeq, i == entry)
+    }
+
   def build(spark: SparkSession, emb: DataFrame, keyCol: String,
             vecCol: String, params: Params = Params()): Graph = {
-    import spark.implicits._
     val centroids = Ann.kmeansCentroids(spark, emb, keyCol, vecCol,
       params.kCenters, params.iters)
+    buildWithCentroids(spark, emb, keyCol, vecCol, centroids, params)
+  }
+
+  /** Build against FIXED routing centroids (the shared lower half of
+    * [[build]], [[append]] and [[compact]]: all three must agree on the
+    * assignment for per-cluster rebuilds to be metamorphic). */
+  def buildWithCentroids(spark: SparkSession, emb: DataFrame, keyCol: String,
+                         vecCol: String, centroids: Array[Array[Double]],
+                         params: Params): Graph = {
+    import spark.implicits._
     val cB = spark.sparkContext.broadcast(centroids)
     val assigned = emb
       .select(col(keyCol).cast("long").as("key"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (k, v) => (Ann.nearestCentroid(v.toArray, cB.value), k, v) }
+        transform(col(vecCol), x => x.cast("float")).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (k, v) =>
+        val arr = toFloatArray(v)
+        val vd = new Array[Double](arr.length)
+        var i = 0
+        while (i < arr.length) { vd(i) = arr(i).toDouble; i += 1 }
+        (Ann.nearestCentroid(vd, cB.value), k, v)
+      }
     // one shuffle keyed by cluster; a task may receive several clusters
     // (hash collisions) and builds each independently
     val m = params.m
     val efC = params.efConstruction
     val adj = assigned.toDF("c", "key", "v")
       .repartition(params.kCenters, col("c"))
-      .as[(Int, Long, Seq[Double])]
+      .as[(Int, Long, Seq[Float])]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (c, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val keys = sorted.map(_._2)
-          val vecs = sorted.map(_._3.toArray)
-          val a = buildCluster(vecs, m, efC)
-          keys.indices.iterator.map { i =>
-            (c, keys(i), vecs(i).toSeq, a(i).map(keys(_)).toSeq)
-          }
+        val byCluster = new java.util.HashMap[Int,
+          mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)]]()
+        it.foreach { case (c, k, v) =>
+          byCluster.computeIfAbsent(c, _ => new mutable.ArrayBuffer)
+            .append((k, toFloatArray(v), Array.emptyLongArray, false))
         }
-      }.toDF("c", "key", "v", "nbrs")
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (c, rows) =>
+          val ca = assemble(rows)
+          val a = buildCluster(ca.vecs, m, efC)
+          emitRows(c, ca.keys, ca.vecs, a, entryOf(ca.vecs, cB.value(c)))
+        }
+      }.toDF("c", "key", "v", "nbrs", "entry")
     Graph(adj.persist(), centroids, params)
   }
 
-  /** Probe the nProbe nearest clusters; beam-search each; merge top-k.
-    * nProbe == kCenters && ef >= cluster size == exact (gate mode). */
+  /** Incremental insert (reference addGraphNode,
+    * GraphIndexBuilder.java:314-362 — B2 applied to the vector side):
+    * route the new vectors to their clusters and insert them into ONLY
+    * the touched clusters' graphs; untouched clusters' rows pass through
+    * unread. Insertion order within a batch is key order, so the result
+    * is a pure function of (existing graph, batch membership). The
+    * entry medioid is refreshed per touched cluster. Centroids stay
+    * FIXED (the router is the stable part, same as the BM25 side's
+    * shards; re-clustering is a rebuild). */
+  def append(spark: SparkSession, graph: Graph, emb: DataFrame,
+             keyCol: String, vecCol: String): Graph = {
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(graph.centroids)
+    val fresh = emb
+      .select(col(keyCol).cast("long").as("key"),
+        transform(col(vecCol), x => x.cast("float")).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (k, v) =>
+        val arr = toFloatArray(v)
+        val vd = new Array[Double](arr.length)
+        var i = 0
+        while (i < arr.length) { vd(i) = arr(i).toDouble; i += 1 }
+        (Ann.nearestCentroid(vd, cB.value), k, v)
+      }.toDF("c", "key", "v").persist()
+    val touched = fresh.select("c").distinct().as[Int].collect().toSet
+    if (touched.isEmpty) { fresh.unpersist(); return graph }
+    val m = graph.params.m
+    val efC = graph.params.efConstruction
+    val untouchedRows = graph.adj.filter(!col("c").isin(touched.toSeq: _*))
+    val existing = graph.adj.filter(col("c").isin(touched.toSeq: _*))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .map { case (c, k, v, nb, e) => (c, k, v, nb, e, false) }
+    val incoming = fresh.as[(Int, Long, Seq[Float])]
+      .map { case (c, k, v) => (c, k, v, Seq.empty[Long], false, true) }
+    val rebuilt = existing.union(incoming)
+      .repartition(math.max(1, touched.size), col("_1"))
+      .mapPartitions { it =>
+        // existing rows keep their adjacency; new rows (flagged) insert
+        // one at a time in key order — the literal addGraphNode loop
+        val byCluster = new java.util.HashMap[Int,
+          (mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)],
+           mutable.ArrayBuffer[(Long, Array[Float])])]()
+        it.foreach { case (c, k, v, nb, e, isNew) =>
+          val slot = byCluster.computeIfAbsent(c,
+            _ => (new mutable.ArrayBuffer, new mutable.ArrayBuffer))
+          if (isNew) slot._2.append((k, toFloatArray(v)))
+          else slot._1.append((k, toFloatArray(v), nb.toArray, e))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (c, (old, news)) =>
+          val ca = assemble(old)
+          val n0 = ca.keys.length
+          val add = news.sortInPlaceBy(_._1)
+          val n = n0 + add.length
+          val keys = java.util.Arrays.copyOf(ca.keys, n)
+          val vecs = java.util.Arrays.copyOf(ca.vecs, n)
+          val adj = java.util.Arrays.copyOf(ca.adj, n)
+          var i = 0
+          while (i < add.length) {
+            keys(n0 + i) = add(i)._1
+            vecs(n0 + i) = add(i)._2
+            adj(n0 + i) = Array.empty[Int]
+            i += 1
+          }
+          i = n0
+          while (i < n) {
+            if (i == 0) () else insertNode(vecs, adj, i, m, efC)
+            i += 1
+          }
+          emitRows(c, keys, vecs, adj, entryOf(vecs, cB.value(c)))
+        }
+      }.toDF("c", "key", "v", "nbrs", "entry")
+    val merged = untouchedRows.union(rebuilt)
+    val out = Graph(merged.persist(), graph.centroids, graph.params,
+      clusterLocal = false, deleted = graph.deleted)
+    out.adj.count() // materialize before dropping the inputs
+    fresh.unpersist()
+    out
+  }
+
+  /** Tombstone keys (reference markNodeDeleted,
+    * GraphIndexBuilder.java:427-453): search traverses through them but
+    * never returns them; [[compact]] is the purge. */
+  def delete(graph: Graph, keys: Seq[Long]): Graph =
+    graph.copy(deleted = (graph.deleted.toSet ++ keys).toArray.sorted)
+
+  /** Purge tombstones (reference removeDeletedNodes,
+    * GraphIndexBuilder.java:427-531): clusters holding a tombstoned key
+    * are REBUILT from their live members (per-cluster rebuild = exactly
+    * the graph a fresh buildWithCentroids would produce for that
+    * membership — NswSpec asserts the equivalence); untouched clusters
+    * pass through unread. */
+  def compact(spark: SparkSession, graph: Graph): Graph = {
+    import spark.implicits._
+    if (graph.deleted.isEmpty) return graph
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
+    val cB = spark.sparkContext.broadcast(graph.centroids)
+    val affected = graph.adj
+      .filter(col("key").isin(graph.deleted.toSeq: _*))
+      .select("c").distinct().as[Int].collect().toSet
+    if (affected.isEmpty) return graph.copy(deleted = Array.emptyLongArray)
+    val untouchedRows = graph.adj.filter(!col("c").isin(affected.toSeq: _*))
+    val m = graph.params.m
+    val efC = graph.params.efConstruction
+    val rebuilt = graph.adj.filter(col("c").isin(affected.toSeq: _*))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .mapPartitions { it =>
+        val byCluster = new java.util.HashMap[Int,
+          mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)]]()
+        it.foreach { case (c, k, v, _, _) =>
+          if (!deadB.value.contains(k))
+            byCluster.computeIfAbsent(c, _ => new mutable.ArrayBuffer)
+              .append((k, toFloatArray(v), Array.emptyLongArray, false))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (c, rows) =>
+          val ca = assemble(rows)
+          val a = buildCluster(ca.vecs, m, efC)
+          emitRows(c, ca.keys, ca.vecs, a, entryOf(ca.vecs, cB.value(c)))
+        }
+      }.toDF("c", "key", "v", "nbrs", "entry")
+    // affected clusters must reassemble into one task each: the graph may
+    // be clusterLocal=false (post-append/loaded)
+    val out = Graph(untouchedRows.union(rebuilt).persist(), graph.centroids,
+      graph.params, clusterLocal = false)
+    out.adj.count()
+    out
+  }
+
+  /** Probe the nProbe nearest clusters; beam-search each from its medioid
+    * entry; merge top-k. nProbe == kCenters && ef >= cluster size == exact
+    * (gate mode). Tombstoned keys are traversed through, never returned.
+    * @param metrics when non-null, receives the summed visitedCount. */
   def topK(graph: Graph, query: Seq[Float], k: Int, nProbe: Int,
-           ef: Int): DataFrame = {
+           ef: Int, metrics: SearchMetrics = null): DataFrame = {
     val spark = graph.adj.sparkSession
     import spark.implicits._
     val q = query.map(_.toDouble).toArray
@@ -267,37 +564,57 @@ object Nsw {
       (i, d)
     }.sortBy(_._2).take(nProbe).map(_._1).toSeq
     val qB = spark.sparkContext.broadcast(q)
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
     val kk = k
     val efq = ef
+    val visitedAcc: LongAccumulator =
+      if (metrics == null) null else spark.sparkContext.longAccumulator("nswVisited")
     val probed0 = graph.adj.filter(col("c").isin(probes: _*))
-    // a loaded graph's clusters may be split across scan partitions:
+    // a loaded/appended graph's clusters may be split across partitions:
     // reassemble each probed cluster into one partition so beamSearch sees
     // the WHOLE adjacency (the probe filter pushes below this exchange, so
     // partition-dir pruning still applies and only probed rows shuffle)
     val probed = if (graph.clusterLocal) probed0
                  else probed0.repartition(math.max(1, probes.size), col("c"))
-    probed
-      .as[(Int, Long, Seq[Double], Seq[Long])]
+    val out = probed
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val keys = sorted.map(_._2)
-          val idxOf = keys.zipWithIndex.toMap
-          val vecs = sorted.map(_._3.toArray)
-          val adj = sorted.map(_._4.toArray.flatMap(idxOf.get))
-          beamSearch(qB.value, vecs, adj, vecs.length, 0, efq)
-            .take(kk).iterator.map { case (i, s) => (keys(i), s) }
+        val byCluster = new java.util.HashMap[Int,
+          mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)]]()
+        it.foreach { case (c, k, v, nb, e) =>
+          byCluster.computeIfAbsent(c, _ => new mutable.ArrayBuffer)
+            .append((k, toFloatArray(v), nb.toArray, e))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (_, rows) =>
+          val ca = assemble(rows)
+          val dead = deadB.value
+          val accept: Int => Boolean =
+            if (dead.isEmpty) null else i => !dead.contains(ca.keys(i))
+          val (hits, visited) = beamSearch(qB.value, ca.vecs, ca.adj,
+            ca.vecs.length, ca.entry, efq, accept)
+          if (visitedAcc != null) visitedAcc.add(visited.toLong)
+          hits.take(kk).iterator.map { case (i, s) => (ca.keys(i), s) }
         }
       }.toDF("key", "sim")
       .orderBy(col("sim").desc, col("key").asc)
       .limit(k)
+    if (metrics != null) {
+      val rows = out.collect() // materialize so the accumulator is final
+      metrics.visited = visitedAcc.value
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+    } else out
   }
 
-  /** Persist: centroid/param meta as format-versioned JSON, adjacency
-    * parquet PARTITIONED BY cluster — a loaded graph's probe filter
-    * prunes whole partition directories at the file level (same layout
-    * contract as Ann.saveIvf). */
+  /** Persist: centroid/param/tombstone meta as format-versioned JSON,
+    * adjacency parquet PARTITIONED BY cluster — a loaded graph's probe
+    * filter prunes whole partition directories at the file level (same
+    * layout contract as Ann.saveIvf). Payload first, meta.json LAST via
+    * atomic rename: meta is the commit marker, so a crashed save leaves a
+    * metaless payload dir that artifact GC can collect. */
   def save(spark: SparkSession, graph: Graph, dir: String): Unit = {
+    graph.adj.write.mode("overwrite").partitionBy("c").parquet(s"$dir/adj")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("formatVersion", FormatVersion)
@@ -305,18 +622,10 @@ object Nsw {
     root.put("efConstruction", graph.params.efConstruction)
     root.set("centroids", mapper.valueToTree(graph.centroids)
       : com.fasterxml.jackson.databind.JsonNode)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
-      spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.meta.json.tmp")
-    val p = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(root)); out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"graph meta publish failed at $p")
-    }
-    graph.adj.write.mode("overwrite").partitionBy("c").parquet(s"$dir/adj")
+    root.set("deleted", mapper.valueToTree(graph.deleted)
+      : com.fasterxml.jackson.databind.JsonNode)
+    graft.index.SegmentCatalog.publishJson(spark, s"$dir/meta.json",
+      mapper.writeValueAsBytes(root))
   }
 
   def load(spark: SparkSession, dir: String): Graph = {
@@ -333,13 +642,24 @@ object Nsw {
       val cent = cn.get(c)
       Array.tabulate(cent.size())(cent.get(_).asDouble())
     }
+    val deleted =
+      if (mNode.has("deleted")) {
+        val dn = mNode.get("deleted")
+        Array.tabulate(dn.size())(dn.get(_).asLong())
+      } else Array.emptyLongArray
     val params = Params(m = mNode.get("m").asInt(),
       efConstruction = mNode.get("efConstruction").asInt(),
       kCenters = centroids.length)
-    val adj = spark.read.parquet(s"$dir/adj")
-      .select(col("c").cast("int").as("c"), col("key"), col("v"), col("nbrs"))
+    val raw = spark.read.parquet(s"$dir/adj")
+    // v1 back-compat: double vectors, no entry flag (entry = smallest-key
+    // node, i.e. local index 0 — the v1 search behavior)
+    val adj = raw
+      .select(col("c").cast("int").as("c"), col("key"),
+        transform(col("v"), x => x.cast("float")).as("v"), col("nbrs"),
+        (if (raw.columns.contains("entry")) col("entry") else lit(false))
+          .as("entry"))
     // clusterLocal = false: the scan's split planning knows nothing about
     // cluster boundaries — search must reassemble probed clusters
-    Graph(adj, centroids, params, clusterLocal = false)
+    Graph(adj, centroids, params, clusterLocal = false, deleted = deleted)
   }
 }

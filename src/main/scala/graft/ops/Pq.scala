@@ -157,8 +157,11 @@ object Pq {
     * doubles) and `codes/` (parquet (key, code), the 4·d/m-compressed
     * corpus representation). */
   def save(spark: SparkSession, model: Model, codes: DataFrame, dir: String): Unit = {
-    saveModel(spark, model, dir)
+    // payload first, model.json LAST: the metadata publish is the atomic
+    // commit marker (shared artifact protocol — SegmentCatalog
+    // .publishJson/gcArtifacts collects metaless crashed saves)
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    saveModel(spark, model, dir)
   }
 
   def saveModel(spark: SparkSession, model: Model, dir: String): Unit = {
@@ -169,17 +172,8 @@ object Pq {
     root.put("dim", model.dim)
     root.set("codebooks", mapper.valueToTree(model.codebooks)
       : com.fasterxml.jackson.databind.JsonNode)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/model.json")
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.model.json.tmp")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(root)); out.close()
-    if (!fs.rename(tmp, p)) { // atomic publish; clobber-refusing FS fallback
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"model publish failed at $p")
-    }
+    graft.index.SegmentCatalog.publishJson(spark, s"$dir/model.json",
+      mapper.writeValueAsBytes(root))
   }
 
   def loadModel(spark: SparkSession, dir: String): Model = {

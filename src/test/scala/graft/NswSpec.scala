@@ -139,6 +139,178 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected partition pruning on the cluster column")
   }
 
+  test("medioid entry + visitedCount: beam does bounded work from a good start") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(36)
+    val emb = clustered(rnd, 2000, 24, 8).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 48, kCenters = 8, iters = 2))
+    // exactly one entry flag per cluster, and it IS the medioid
+    val entries = g.adj.filter($"entry").select($"c").as[Int].collect()
+    assert(entries.sorted.toSeq == (0 until 8), s"entry flags per cluster: ${entries.toSeq}")
+    val queries = (201 to 210).map(s => randVec(new scala.util.Random(s), 24))
+    var recallHits = 0
+    var visitedTot = 0L
+    queries.foreach { q =>
+      val truth = bruteTop(emb, q, 10).toSet
+      val m = new Nsw.SearchMetrics
+      val got = Nsw.topK(g, q, 10, nProbe = 8, ef = 24, metrics = m)
+        .select($"key").as[Long].collect().toSet
+      recallHits += (truth & got).size
+      assert(m.visited > 0)
+      visitedTot += m.visited
+    }
+    val recall = recallHits / (10.0 * queries.size)
+    // medioid entry at a SMALL ef must already reach high recall
+    assert(recall >= 0.85, s"recall@10 ef=24 from medioid entry = $recall")
+    // and the beam visits a bounded neighborhood, not the whole corpus
+    assert(visitedTot < 2000L * queries.size,
+      s"visited $visitedTot across ${queries.size} queries — beam degenerated to scans")
+    info(f"recall@10 ef=24: $recall%.2f, avg visited/query: ${visitedTot / queries.size}")
+    g.unpersist()
+  }
+
+  test("append == incremental addGraphNode: recall parity with batch rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val all = clustered(rnd, 1500, 16, 4)
+    val (base, extra) = all.splitAt(1000)
+    val baseDf = base.toDF("vec_id", "embedding")
+    val extraDf = extra.toDF("vec_id", "embedding")
+    val allDf = all.toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, baseDf, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val g1 = Nsw.append(spark, g0, extraDf, "vec_id", "embedding")
+    // same coarse router as a batch rebuild would get with these centroids
+    val batch = Nsw.buildWithCentroids(spark, allDf, "vec_id", "embedding",
+      g0.centroids, g0.params)
+    // exact mode: appended graph must be EXACTLY brute force over the union
+    val q = randVec(new scala.util.Random(8), 16)
+    val gotExact = Nsw.topK(g1, q, 10, nProbe = 4, ef = Int.MaxValue)
+      .select($"key").as[Long].collect().toSeq
+    assert(gotExact == bruteTop(allDf, q, 10), "append lost/duplicated nodes")
+    // production knobs: recall within eps of the batch-rebuilt graph
+    val queries = (301 to 312).map(s => randVec(new scala.util.Random(s), 16))
+    def recall(g: Nsw.Graph): Double = {
+      val hits = queries.map { qq =>
+        val truth = bruteTop(allDf, qq, 10).toSet
+        val got = Nsw.topK(g, qq, 10, nProbe = 3, ef = 48)
+          .select($"key").as[Long].collect().toSet
+        (truth & got).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    val (rAppend, rBatch) = (recall(g1), recall(batch))
+    info(f"recall@10: append $rAppend%.3f vs batch rebuild $rBatch%.3f")
+    assert(rAppend >= rBatch - 0.05,
+      f"appended graph recall $rAppend%.3f below batch $rBatch%.3f - 0.05")
+    // append is deterministic: same batch twice -> identical adjacency
+    val g1b = Nsw.append(spark, g0, extraDf, "vec_id", "embedding")
+    val d1 = g1.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    val d1b = g1b.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(d1 == d1b, "append not deterministic")
+    Seq(g0, g1, g1b, batch).foreach(_.unpersist())
+  }
+
+  test("delete tombstones exclude keys exactly; compact == per-cluster rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(38)
+    val rows = clustered(rnd, 1000, 16, 4)
+    val emb = rows.toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val q = randVec(new scala.util.Random(9), 16)
+    val top = bruteTop(emb, q, 10)
+    val dead = top.take(3) ++ Seq(500L, 501L)
+    val gDel = Nsw.delete(g, dead)
+    // exact mode: results == brute force minus the tombstones, rank for rank
+    val liveDf = rows.filterNot(r => dead.contains(r._1)).toDF("vec_id", "embedding")
+    val gotExact = Nsw.topK(gDel, q, 10, nProbe = 4, ef = Int.MaxValue)
+      .select($"key").as[Long].collect().toSeq
+    assert(gotExact == bruteTop(liveDf, q, 10), "tombstones not excluded exactly")
+    // production knobs: traverse-through, never returned
+    val gotBeam = Nsw.topK(gDel, q, 10, nProbe = 4, ef = 48)
+      .select($"key").as[Long].collect().toSeq
+    assert(gotBeam.intersect(dead).isEmpty)
+    // compact purges: rows gone, tombstone list cleared, and each affected
+    // cluster's adjacency is EXACTLY what a fresh build of its live
+    // membership produces (reference removeDeletedNodes semantics)
+    val gc = Nsw.compact(spark, gDel)
+    assert(gc.deleted.isEmpty)
+    assert(gc.adj.filter($"key".isin(dead: _*)).count() == 0)
+    val want = Nsw.buildWithCentroids(spark, liveDf, "vec_id", "embedding",
+      g.centroids, g.params)
+    val a = gc.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    val b = want.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, "compacted adjacency differs from fresh rebuild of live set")
+    // searches on the compacted graph serve normally
+    assert(Nsw.topK(gc, q, 10, nProbe = 4, ef = Int.MaxValue)
+      .select($"key").as[Long].collect().toSeq == bruteTop(liveDf, q, 10))
+    Seq(g, gc, want).foreach(_.unpersist())
+  }
+
+  test("save/load round-trips tombstones; v2 format carries entry flags") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(39)
+    val emb = clustered(rnd, 600, 16, 4).toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val g = Nsw.delete(g0, Seq(5L, 6L, 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-v2").toString
+    Nsw.save(spark, g, dir)
+    val loaded = Nsw.load(spark, dir)
+    assert(loaded.deleted.toSeq == Seq(5L, 6L, 7L))
+    assert(loaded.adj.filter(col("entry")).count() == 4)
+    val q = randVec(new scala.util.Random(10), 16)
+    val want = Nsw.topK(g, q, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toSeq
+    val got = Nsw.topK(loaded, q, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    g0.unpersist()
+  }
+
+  test("HotAnn serving path identical to Nsw.topK at every knob setting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(40)
+    val emb = clustered(rnd, 1500, 16, 4).toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val g = Nsw.delete(g0, Seq(10L, 11L)) // serving must honor tombstones too
+    val hot = HotAnn(g)
+    for {
+      seed <- 1 to 3
+      (nProbe, ef) <- Seq((4, Int.MaxValue), (2, 48), (4, 16))
+    } {
+      val q = randVec(new scala.util.Random(seed), 16)
+      val want = Nsw.topK(g, q, 10, nProbe, ef)
+        .as[(Long, Double)].collect().toSeq
+      val got = hot.topK(q, 10, nProbe, ef).toSeq
+      assert(got == want, s"HotAnn mismatch at nProbe=$nProbe ef=$ef seed=$seed")
+    }
+    // visited metrics agree between the two paths
+    val q = randVec(new scala.util.Random(4), 16)
+    val mHot = new Nsw.SearchMetrics
+    val mDf = new Nsw.SearchMetrics
+    hot.topK(q, 10, 4, 32, metrics = mHot)
+    Nsw.topK(g, q, 10, 4, 32, metrics = mDf).collect()
+    assert(mHot.visited == mDf.visited && mHot.visited > 0)
+    // warm serving is planning-free: after the first call, a query is a
+    // single runJob over probed partitions — sanity-bound the latency
+    hot.topK(q, 10, 2, 48)
+    val t0 = System.nanoTime()
+    (0 until 5).foreach(_ => hot.topK(q, 10, 2, 48))
+    val msPer = (System.nanoTime() - t0) / 5e6
+    info(f"HotAnn warm topK: $msPer%.1f ms/query")
+    assert(msPer < 500, f"warm serving query took $msPer%.1f ms")
+    hot.close()
+    g0.unpersist()
+  }
+
   test("fragmented loaded graph reassembles clusters before beam search") {
     import spark.implicits._
     // A load()ed graph's clusters arrive split across scan partitions at

@@ -161,6 +161,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe filter not pushed to partition pruning:\n${planStr.take(1500)}")
   }
 
+  test("artifact GC collects crashed ANN saves, spares committed ones") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-art-gc").toString
+    val emb = (0L until 200L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    // committed artifact: payload + published commit marker
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 4, efConstruction = 16, kCenters = 2, iters = 1))
+    Nsw.save(spark, g, s"$root/nsw-ok")
+    // crashed save: payload written, meta.json never published
+    g.adj.write.mode("overwrite").partitionBy("c").parquet(s"$root/nsw-crashed/adj")
+    g.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // age guard: a fresh (in-flight) save is never collected
+    assert(graft.index.SegmentCatalog.gcArtifacts(spark, root, graceMs = 3600000L).isEmpty)
+    assert(exists(s"$root/nsw-crashed/adj"))
+    // past the grace window the metaless payload dies, the committed one lives
+    val dead = graft.index.SegmentCatalog.gcArtifacts(spark, root, graceMs = 0L)
+    assert(dead.size == 1 && dead.head.contains("nsw-crashed"), dead.toString)
+    assert(!exists(s"$root/nsw-crashed/adj"))
+    assert(exists(s"$root/nsw-ok/adj") && exists(s"$root/nsw-ok/meta.json"))
+    // the committed graph still loads and serves after GC
+    val loaded = Nsw.load(spark, s"$root/nsw-ok")
+    assert(Nsw.topK(loaded, Seq.fill(8)(1.0f), 5, nProbe = 2, ef = Int.MaxValue)
+      .count() == 5)
+  }
+
   test("multimodal: payload plumbing shapes and stub decode determinism") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
