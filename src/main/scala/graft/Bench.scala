@@ -152,11 +152,35 @@ object Bench {
       return
     }
 
-    // ---- phase 2: materialize the bench corpus as a table at rest ----
     val shm = new java.io.File("/dev/shm")
     val tmpBase = if (shm.isDirectory && shm.canWrite) {
       val d = new java.io.File(shm, "graft-bench"); d.mkdirs(); d.toString
     } else java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // ---- phase 1b: standing sf1 escalation gate (judge r3 #10) ----
+    // every round re-runs EVERY gate query at 10x the sfDir data
+    // (Sf1Gen's deterministic workload-shape-preserving replication) and
+    // records the per-query ratio table in the bench JSON itself — a
+    // query whose cost blows past ~linear in data is a scale regression
+    // the round's own BENCH file surfaces (this is how round 3 caught the
+    // 53x dedup_embed blowup).
+    val sf1Times: Seq[(String, Double)] =
+      if (scaleOnly || sys.env.contains("SPARK_GRAFT_SKIP_SF1")) Seq.empty
+      else {
+        val sf1Dir = s"$tmpBase/sf1"
+        Sf1Gen.generate(spark, sfDir, sf1Dir, reps = 10)
+        Gate.index(spark, sf1Dir) // build once, like phase 1
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t = timeS {
+            try fn(spark, sf1Dir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] sf1 $name: $e"); -1L }
+          }
+          System.err.println(f"[bench] sf1 $name: $t%.2f s")
+          name -> t
+        }
+      }
+
+    // ---- phase 2: materialize the bench corpus as a table at rest ----
     val corpusPath = s"$tmpBase/corpus"
     WebCorpus.generate(spark, scaleDocs, partitions = 128)
       .write.mode("overwrite").parquet(corpusPath)
@@ -251,8 +275,25 @@ object Bench {
 
     val total = queryTimes.map(_._2).sum
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // sf1 standing gate: per-query seconds at 10x data + ratio vs sfDir
+    // (ratios clamp tiny denominators to 50 ms so fixed overheads on
+    // sub-100ms queries don't read as scale blowups)
+    val base = queryTimes.toMap
+    val sf1Block =
+      if (sf1Times.isEmpty) ""
+      else {
+        val q1 = sf1Times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val ratios = sf1Times.map { case (k, v) =>
+          k -> (v / math.max(base.getOrElse(k, 0.05), 0.05))
+        }
+        val rs = ratios.map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+        val worst = ratios.maxBy(_._2)
+        f""""sf1":{"total":${sf1Times.map(_._2).sum}%.3f,"queries":$q1,""" +
+          f""""ratio_vs_sf":$rs,"max_ratio":${worst._2}%.2f,""" +
+          f""""max_ratio_query":"${worst._1}"},"""
+      }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$sf1Block"""
         + f""""warm_query_ms":$warmMs%.1f,"warm_df_query_ms":$warmDfMs%.1f,"""
         + f""""warm_ann_ms":$warmAnnMs%.1f,"""
         + f""""build":{"docs":$scaleDocs,"pinned_jvm_per_level":true,"""

@@ -33,6 +33,14 @@ object Sf1Gen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, out, reps, verbose = true)
+    spark.stop()
+  }
+
+  /** Callable form (Bench runs this each round for the standing sf1
+    * escalation gate). */
+  def generate(spark: SparkSession, src: String, out: String, reps: Int = 10,
+               verbose: Boolean = false): Unit = {
     import spark.implicits._
 
     val repCol = spark.range(reps).select($"id".cast("int").as("rep"))
@@ -40,8 +48,10 @@ object Sf1Gen {
       val t = spark.read.parquet(s"$src/$name.parquet")
       f(t.crossJoin(repCol)).drop("rep")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      val n = spark.read.parquet(s"$out/$name.parquet").count()
-      println(s"$name: $n rows")
+      if (verbose) {
+        val n = spark.read.parquet(s"$out/$name.parquet").count()
+        println(s"$name: $n rows")
+      }
     }
     def shifted(c: String, stride: Long): Column =
       col(c) + col("rep").cast("long") * lit(stride)
@@ -79,8 +89,7 @@ object Sf1Gen {
     Seq("nation", "region").foreach { name =>
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"$name: copied")
+      if (verbose) println(s"$name: copied")
     }
-    spark.stop()
   }
 }
