@@ -59,10 +59,12 @@ object Ann {
     *    reduce on the driver. */
   def kmeansCentroids(spark: SparkSession, emb: DataFrame, keyCol: String,
                       vecCol: String, kCenters: Int, iters: Int,
-                      trainCap: Long = 131072L): Array[Array[Double]] = {
+                      trainCap: Long = 131072L, nHint: Long = -1L): Array[Array[Double]] = {
     import spark.implicits._
     val all = emb.select(col(keyCol).as("key"), vd(col(vecCol)).as("v"))
-    val n = all.count()
+    // nHint: callers that already counted the corpus (e.g. auto-scaled
+    // cluster sizing) pass it through so training doesn't pay the pass twice
+    val n = if (nHint >= 0) nHint else all.count()
     val m = math.max(1L, (n + trainCap - 1) / trainCap)
     val e = (if (m > 1L) all.filter(pmod(xxhash64(col("key")), lit(m)) === 0)
              else all).as[(Long, Seq[Double])].persist()

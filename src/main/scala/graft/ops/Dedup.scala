@@ -196,14 +196,16 @@ object Dedup {
     val nrm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
     val unit = e.filter(nrm > 0)
       .select(col("k"), col("v"), transform(col("v"), x => x / nrm).as("u"))
+      .persist() // auto-k count + k-means sample + assignment share one pass
     // kCenters = 0 -> auto: scale the cluster count with the corpus so the
     // per-bucket candidate work stays bounded (fixed k makes the bucketed
     // join O(n²/k) — the sf1 escalation run caught exactly that blowup).
     // ~256 vectors per bucket keeps each surviving bucket-pair a small
     // codegen'd join; the driver-side pruning loop stays k² <= 4096².
+    val n = unit.count()
     val k0 = if (kCenters > 0) kCenters
-             else math.min(4096L, math.max(16L, unit.count() / 256L)).toInt
-    val centroids = Ann.kmeansCentroids(spark, unit, "k", "u", k0, iters)
+             else math.min(4096L, math.max(16L, n / 256L)).toInt
+    val centroids = Ann.kmeansCentroids(spark, unit, "k", "u", k0, iters, nHint = n)
     val cB = spark.sparkContext.broadcast(centroids)
     val assigned = unit.as[(Long, Seq[Double], Seq[Double])].map { case (k, v, u) =>
       val (c, d2) = Ann.nearestCentroidDist(u.toArray, cB.value)
@@ -253,6 +255,7 @@ object Dedup {
       .persist()
     out.count() // force through the cached assignment, then release it
     assigned.unpersist()
+    unit.unpersist()
     out // small (qualifying pairs only); callers may unpersist when done
   }
 }

@@ -71,12 +71,131 @@ object Pq {
       }
     }
 
+    /** Per-subspace ADC tables of INNER-PRODUCT parts (the reference's
+      * DOT similarity with PQ — pq/PQVectors.java:112-123 precomputes
+      * partial dot products the same way). Σ_s table(s)(code_s) = ⟨q,
+      * decode(code)⟩; ranking descending is the MIPS setting the
+      * anisotropic loss optimizes. */
+    def dotTables(q: Array[Double]): Array[Array[Double]] = {
+      val w = dim / m
+      Array.tabulate(m) { s =>
+        val cb = codebooks(s)
+        Array.tabulate(cb.length) { c =>
+          var d = 0.0
+          var i = 0
+          while (i < w) { d += q(s * w + i) * cb(c)(i); i += 1 }
+          d
+        }
+      }
+    }
+
     def adc(tables: Array[Array[Double]], code: Array[Byte]): Double = {
       var d = 0.0
       var s = 0
       while (s < m) { d += tables(s)(code(s) & 0xFF); s += 1 }
       d
     }
+
+    /** Anisotropic encode (SCANN-style; reference
+      * pq/ProductQuantization.java:233-312 encodeAnisotropic +
+      * KMeansPlusPlusClusterer.computeParallelCostMultiplier:116-124):
+      * residual error PARALLEL to the datapoint costs `pcm`x more than
+      * orthogonal error, because parallel error is what perturbs the
+      * inner products of exactly the high-scoring pairs a top-k search
+      * ranks. Codes are chosen by coordinate descent across subspaces
+      * (<= 10 sweeps, seeded from the plain min-residual assignment),
+      * since the parallel loss couples subspaces — per-subspace argmin
+      * can't see it. Same codebooks, same code size, same ADC scoring;
+      * only the assignment changes. */
+    def encodeOneAnisotropic(v: Array[Double], pcm: Double): Array[Byte] = {
+      val w = dim / m
+      var vNorm2 = 0.0
+      var i = 0
+      while (i < dim) { vNorm2 += v(i) * v(i); i += 1 }
+      if (vNorm2 == 0.0) return encodeOne(v)
+      // loss({c_s}) = Σ_s |r_s|²  +  (pcm − 1) · (Σ_s ⟨r_s, x_s⟩)² / |x|²
+      //             = perpendicular + parallel, weighted — the anisotropic
+      // objective with the SIGNED cross-subspace parallel sum (the
+      // parallel residual is a projection of the FULL residual onto x, so
+      // per-subspace contributions cancel; treating them per-subspace-
+      // squared discards exactly the trades coordinate descent exists to
+      // find). rn2/pp tables: residual norm² and ⟨r_s, x_s⟩ per code.
+      val rn2 = Array.ofDim[Double](m, codebooks(0).length)
+      val pp = Array.ofDim[Double](m, codebooks(0).length)
+      val code = new Array[Byte](m)
+      var p = 0.0 // Σ_s ⟨r_s, x_s⟩ of the current assignment
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var xn2 = 0.0
+        i = 0
+        while (i < w) { val x = v(s * w + i); xn2 += x * x; i += 1 }
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var cDotX = 0.0
+          var cn2 = 0.0
+          i = 0
+          while (i < w) {
+            val ci = cb(c)(i)
+            cDotX += ci * v(s * w + i); cn2 += ci * ci; i += 1
+          }
+          rn2(s)(c) = cn2 - 2 * cDotX + xn2
+          pp(s)(c) = xn2 - cDotX // ⟨x_s − c, x_s⟩
+          if (rn2(s)(c) < bestD) { bestD = rn2(s)(c); best = c }
+          c += 1
+        }
+        code(s) = best.toByte
+        p += pp(s)(best)
+        s += 1
+      }
+      val lam = (pcm - 1.0) / vNorm2
+      // coordinate descent until no subspace improves (cap 10 sweeps,
+      // reference's bound): per subspace pick argmin of
+      // rn2(c) + lam · (p − pp(cur) + pp(c))² — each sweep is monotone in
+      // the global loss, so termination is guaranteed even at the cap
+      var iter = 0
+      var changed = true
+      while (changed && iter < 10) {
+        changed = false
+        s = 0
+        while (s < m) {
+          val cur = code(s) & 0xFF
+          val pBase = p - pp(s)(cur)
+          var bestIdx = cur
+          var bestCost = rn2(s)(cur) + lam * p * p
+          var c = 0
+          while (c < rn2(s).length) {
+            if (c != cur) {
+              val np = pBase + pp(s)(c)
+              val cost = rn2(s)(c) + lam * np * np
+              if (cost < bestCost) { bestCost = cost; bestIdx = c }
+            }
+            c += 1
+          }
+          if (bestIdx != cur) {
+            code(s) = bestIdx.toByte
+            p = pBase + pp(s)(bestIdx)
+            changed = true
+          }
+          s += 1
+        }
+        iter += 1
+      }
+      code
+    }
+  }
+
+  /** Parallel-cost multiplier from a dot-product threshold T (reference
+    * KMeansPlusPlusClusterer.java:116-124): pairs scoring above T are the
+    * ones whose ranks matter; on unit vectors the expected parallel share
+    * of an isotropic error is T^2 and the orthogonal share spreads over
+    * the remaining d-1 directions. */
+  def parallelCostMultiplier(threshold: Double, dim: Int): Double = {
+    val parallelCost = threshold * threshold
+    val perpendicularCost = (1 - parallelCost) / (dim - 1)
+    math.max(1.0, parallelCost / perpendicularCost)
   }
 
   /** Train codebooks on a deterministic key-hash sample (collected to the
@@ -137,15 +256,27 @@ object Pq {
     cents
   }
 
-  /** Encode the corpus: (key, code bytes). One narrow map, no shuffle. */
+  /** Encode the corpus: (key, code bytes). One narrow map, no shuffle.
+    * @param anisotropicThreshold when > 0, codes are assigned by the
+    *   SCANN-style anisotropic coordinate descent (see
+    *   [[Model.encodeOneAnisotropic]]) with pcm derived from this
+    *   dot-product threshold; 0 (default) keeps the plain min-residual
+    *   assignment. Either way the code SIZE and ADC scoring are
+    *   unchanged — this is a pure recall-per-byte knob. */
   def encode(spark: SparkSession, emb: DataFrame, keyCol: String, vecCol: String,
-             model: Model): DataFrame = {
+             model: Model, anisotropicThreshold: Double = 0.0): DataFrame = {
     import spark.implicits._
     val mB = spark.sparkContext.broadcast(model)
+    val pcm = if (anisotropicThreshold > 0)
+      parallelCostMultiplier(anisotropicThreshold, model.dim) else 0.0
     emb.select(col(keyCol).cast("long").as("key"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
-      .map { case (k, v) => (k, mB.value.encodeOne(v.toArray)) }
+      .map { case (k, v) =>
+        val arr = v.toArray
+        (k, if (pcm > 0) mB.value.encodeOneAnisotropic(arr, pcm)
+            else mB.value.encodeOne(arr))
+      }
       .toDF("key", "code")
   }
 
@@ -201,6 +332,37 @@ object Pq {
 
   def load(spark: SparkSession, dir: String): (Model, DataFrame) =
     (loadModel(spark, dir), loadCodes(spark, dir))
+
+  /** Approximate top-k by INNER-PRODUCT ADC over the compressed codes
+    * (descending ⟨q, decode(code)⟩), then EXACT dot-product rerank of the
+    * k·rerankFactor survivors — the MIPS twin of [[topK]] and the setting
+    * where anisotropic codes pay off (reference DOT similarity + PQ).
+    * Returns (key, dot) descending, k rows. */
+  def topKDot(spark: SparkSession, codes: DataFrame, emb: DataFrame,
+              keyCol: String, vecCol: String, model: Model,
+              query: Seq[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val tB = spark.sparkContext.broadcast(model.dotTables(q))
+    val mB = spark.sparkContext.broadcast(model)
+    val kk = math.max(1, k * rerankFactor)
+    val approx = codes.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val heap = new graft.core.DoubleTopK(kk)
+        it.foreach { case (key, code) =>
+          heap.offer(mB.value.adc(tB.value, code), key)
+        }
+        heap.drain().iterator
+      }.toDF("adc", "key")
+      .orderBy($"adc".desc, $"key".asc).limit(kk)
+    val qc = typedlit(q.toSeq)
+    approx.join(emb.select(col(keyCol).cast("long").as("key"), col(vecCol)), "key")
+      .withColumn("dot", graft.functions.VectorFunctions.dotProd(
+        transform(col(vecCol), x => x.cast("double")), qc))
+      .select(col("key"), col("dot"))
+      .orderBy(col("dot").desc, col("key").asc)
+      .limit(k)
+  }
 
   /** Approximate top-k by ADC over the compressed codes, then EXACT
     * squared-L2 rerank of the k·rerankFactor survivors against the

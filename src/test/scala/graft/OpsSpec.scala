@@ -101,6 +101,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == brute, "full-rerank PQ must equal brute force")
   }
 
+  test("anisotropic PQ beats plain PQ recall at equal code size on the hard corpus") {
+    import spark.implicits._
+    // hard corpus (RecallProbe shape): overlapping unit-normalized Gaussian
+    // clusters + outliers, so codes must preserve dot products of
+    // HIGH-scoring pairs — exactly what the anisotropic loss weights
+    val rnd = new scala.util.Random(41)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val emb = (0L until 3000L).map { i =>
+      val v =
+        if (i % 5 == 4) Array.fill(dim)(rnd.nextGaussian())
+        else {
+          val c = centers(rnd.nextInt(centers.length))
+          c.map(_ + 0.45 * rnd.nextGaussian())
+        }
+      (i, unit(v))
+    }.toDF("vec_id", "embedding").persist()
+    // m=8 (8 bytes/vector): the regime where quantization is fine enough
+    // for assignment trades to matter — at very coarse codes (m=4 here,
+    // residual norms ~ |x|) the anisotropic trade buys nothing; measured
+    // curve in AnisoProbe / BASELINE.md round 4
+    val model = Pq.train(spark, emb, "vec_id", "embedding", m = 8, iters = 5)
+    val plain = Pq.encode(spark, emb, "vec_id", "embedding", model).persist()
+    val aniso = Pq.encode(spark, emb, "vec_id", "embedding", model,
+      anisotropicThreshold = 0.35).persist()
+    // same code size by construction: assignment changed, nothing else
+    assert(aniso.select($"code").as[Array[Byte]].head().length == 8)
+    val queries = (501 to 520).map { s =>
+      val r = new scala.util.Random(s)
+      val c = centers(r.nextInt(centers.length))
+      unit(c.map(_ + 0.45 * r.nextGaussian()))
+    }
+    // ADC-ONLY ranking quality (rerankFactor=1: membership is decided
+    // entirely by the codes) under the MIPS scoring the anisotropic loss
+    // optimizes, vs brute-force dot ranking
+    def recall(codes: org.apache.spark.sql.DataFrame): Double = {
+      val hits = queries.map { q =>
+        val truth = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Dot)
+          .select($"key").as[Long].collect().toSet
+        val got = Pq.topKDot(spark, codes, emb, "vec_id", "embedding", model,
+          q, 10, rerankFactor = 1).select($"key").as[Long].collect().toSet
+        (truth & got).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    val (rPlain, rAniso) = (recall(plain), recall(aniso))
+    info(f"dot-ADC recall@10 at 8 bytes/vector: plain $rPlain%.3f, anisotropic $rAniso%.3f")
+    assert(rAniso > rPlain,
+      f"anisotropic ($rAniso%.3f) must beat plain ($rPlain%.3f) at equal code size")
+    // encode determinism: same inputs -> same codes
+    val again = Pq.encode(spark, emb, "vec_id", "embedding", model,
+      anisotropicThreshold = 0.35)
+    assert(again.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap
+      == aniso.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap)
+    Seq(emb, plain, aniso).foreach(_.unpersist())
+  }
+
   test("PQ persistence: save -> load round-trips the model bit-exactly; format gated") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
