@@ -148,6 +148,24 @@ object GateOps {
     ranked(res.select(col("key"), sqrt(col("dist2")).as("sim")), asc = true)
   }
 
+  /** Binary-quantization path in exact mode (rerank set covers the gate
+    * corpus, like annPq) so the oracle is brute-force cosine; small
+    * rerankFactor is the production knob (recall measured in OpsSpec).
+    * Serves through a save -> load round-trip like the other ANN gates. */
+  def annBq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model0 = Bq.train(spark, emb, "vec_id", "embedding")
+    val codes0 = Bq.encode(spark, emb, "vec_id", "embedding", model0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq").toString
+    Bq.save(spark, model0, codes0, dir)
+    val (model, codes) = Bq.load(spark, dir)
+    val nAll = emb.count()
+    val res = Bq.topK(spark, codes, emb, "vec_id", "embedding", model,
+      queryVec(spark, sfDir, 4), 10,
+      rerankFactor = ((nAll + 9) / 10).toInt.max(1))
+    ranked(res, asc = false)
+  }
+
   /** Graph path (cluster-partitioned NSW, Nsw.scala) in exact mode —
     * nProbe == kCenters and ef >= cluster size, so the beam frontier
     * admits every node and the oracle is brute-force cosine (the same

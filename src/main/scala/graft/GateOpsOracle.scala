@@ -119,6 +119,7 @@ object GateOpsOracle {
   val annIvf: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 1, asc = false)
   val annPq: String = annSql("list_distance(embedding::DOUBLE[], q.qv)", 2, asc = true)
   val annGraph: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 3, asc = false)
+  val annBq: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 4, asc = false)
 
   // even doc_id: the real BMP header parse must recover the synthesized
   // dimensions (file size = 54-byte header + height * 4-padded 24bpp row

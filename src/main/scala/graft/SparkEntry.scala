@@ -38,6 +38,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => GateOps.annIvf(s, d)),
     "ann_pq" -> ((s, d) => GateOps.annPq(s, d)),
     "ann_graph" -> ((s, d) => GateOps.annGraph(s, d)),
+    "ann_bq" -> ((s, d) => GateOps.annBq(s, d)),
     "multimodal_meta" -> ((s, d) => GateOps.multimodalMeta(s, d)),
     "rel_q1" -> ((s, d) => GateOps.relQ1(s, d)),
     "rel_join_top10" -> ((s, d) => GateOps.relJoinTop10(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
       "ann_ivf" -> GateOpsOracle.annIvf,
       "ann_pq" -> GateOpsOracle.annPq,
       "ann_graph" -> GateOpsOracle.annGraph,
+      "ann_bq" -> GateOpsOracle.annBq,
       "multimodal_meta" -> GateOpsOracle.multimodalMeta,
       "rel_q1" -> GateOpsOracle.relQ1,
       "rel_join_top10" -> GateOpsOracle.relJoinTop10,

@@ -358,9 +358,9 @@ object SegmentCatalog {
     * first, metadata JSON last via [[publishJson]] — the metadata file IS
     * the commit marker. This maps each payload dir name to its marker. */
   private val ArtifactMarkers = Seq(
-    "adj" -> "meta.json",           // Nsw.save
-    "codes" -> "model.json",        // Pq.save
-    "assigned" -> "centroids.json") // Ann.saveIvf
+    "adj" -> Seq("meta.json"),                  // Nsw.save
+    "codes" -> Seq("model.json", "bq.json"),    // Pq.save / Bq.save
+    "assigned" -> Seq("centroids.json"))        // Ann.saveIvf
 
   /** Collect crashed ANN artifact saves (payload written, commit-marker
     * metadata never published) under `dir` and its immediate children —
@@ -378,9 +378,9 @@ object SegmentCatalog {
     val candidates = root +: fs.listStatus(root).toSeq
       .filter(_.isDirectory).map(_.getPath)
     val dead = candidates.flatMap { base =>
-      ArtifactMarkers.flatMap { case (payload, marker) =>
+      ArtifactMarkers.flatMap { case (payload, markers) =>
         val pp = new Path(base, payload)
-        if (fs.exists(pp) && !fs.exists(new Path(base, marker)) &&
+        if (fs.exists(pp) && !markers.exists(m => fs.exists(new Path(base, m))) &&
             nowMs - fs.getFileStatus(pp).getModificationTime >= graceMs)
           Some(pp)
         else None

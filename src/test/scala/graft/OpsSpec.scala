@@ -101,6 +101,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == brute, "full-rerank PQ must equal brute force")
   }
 
+  test("BQ: 1 bit/dim hamming prefilter + exact rerank; exact at full rerank; round-trips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 800L).map { i =>
+      val c = (i % 8).toInt
+      val v = Array.tabulate(64)(d => (if (d % 8 == c) 3f else 0f) + rnd.nextFloat())
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 11).select($"embedding").as[Seq[Float]].head()
+    val brute = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Cosine)
+      .select($"key").as[Long].collect().toSeq
+    val model = Bq.train(spark, emb, "vec_id", "embedding")
+    val codes = Bq.encode(spark, emb, "vec_id", "embedding", model).persist()
+    // 64 dims -> exactly one packed long
+    assert(codes.select($"bits").as[Array[Long]].head().length == 1)
+    // production knob: hamming prefilter at modest rerank, high recall
+    val approx = Bq.topK(spark, codes, emb, "vec_id", "embedding", model, q, 10,
+      rerankFactor = 8).select($"key").as[Long].collect().toSeq
+    val recall = approx.toSet.intersect(brute.toSet).size / 10.0
+    assert(recall >= 0.7, s"BQ recall@rerank8 was $recall")
+    // exact mode: rerank covers the corpus -> identical to brute force
+    val exact = Bq.topK(spark, codes, emb, "vec_id", "embedding", model, q, 10,
+      rerankFactor = 80).as[(Long, Double)].collect().toSeq
+    assert(exact.map(_._1) == brute, "full-rerank BQ must equal brute force")
+    // hamming kernel properties
+    assert(model.sim(Array(0L), Array(0L)) == 1.0)
+    assert(model.hamming(Array(-1L), Array(0L)) == 64)
+    // save -> load round-trip serves identically (bq.json commit marker)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq-rt").toString
+    Bq.save(spark, model, codes, dir)
+    val (lm, lc) = Bq.load(spark, dir)
+    assert(lm.center.toSeq == model.center.toSeq)
+    assert(Bq.topK(spark, lc, emb, "vec_id", "embedding", lm, q, 10, rerankFactor = 80)
+      .as[(Long, Double)].collect().toSeq == exact)
+    codes.unpersist()
+  }
+
   test("anisotropic PQ beats plain PQ recall at equal code size on the hard corpus") {
     import spark.implicits._
     // hard corpus (RecallProbe shape): overlapping unit-normalized Gaussian
