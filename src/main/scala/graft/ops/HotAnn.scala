@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable
@@ -83,6 +84,7 @@ object HotAnn {
     import spark.implicits._
     val k = math.max(1, graph.centroids.length)
     val parts = graph.adj
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .rdd
       .map { case (c, key, v, nbrs, e) => (c, (key, v, nbrs, e)) }

@@ -102,10 +102,16 @@ object Nsw {
     *   never returns them; [[compact]] purges them. Driver-resident and
     *   broadcast per query — the "small live deny set" regime, with
     *   compaction as the durable path (same design language as the BM25
-    *   side's HotIndex deny sets). */
+    *   side's HotIndex deny sets).
+    * @param pq when set ([[attachPq]]), adj rows also carry an m-byte PQ
+    *   code per node and [[topKFused]] can traverse on ADC lookups
+    *   instead of full vectors — the reference's fused-codes layout
+    *   (graph/disk/FusedADC.java:87-106 stores neighbor codes inline
+    *   with the adjacency for exactly this traversal). */
   final case class Graph(adj: DataFrame, centroids: Array[Array[Double]],
                          params: Params, clusterLocal: Boolean = true,
-                         deleted: Array[Long] = Array.emptyLongArray) {
+                         deleted: Array[Long] = Array.emptyLongArray,
+                         pq: Option[Pq.Model] = None) {
     def unpersist(): Unit = adj.unpersist()
   }
 
@@ -156,10 +162,18 @@ object Nsw {
   private[ops] def beamSearch(q: Array[Double], vecs: Array[Array[Float]],
                               adj: Array[Array[Int]], n: Int, entry: Int,
                               ef: Int, accept: Int => Boolean = null)
+      : (Array[(Int, Double)], Int) =
+    beamSearchBy(i => cosineQF(q, vecs(i)), adj, n, entry, ef, accept)
+
+  /** The beam over an arbitrary node-scoring function — shared by the
+    * exact full-vector path and the PQ-fused ADC path ([[topKFused]]). */
+  private[ops] def beamSearchBy(score: Int => Double,
+                                adj: Array[Array[Int]], n: Int, entry: Int,
+                                ef: Int, accept: Int => Boolean = null)
       : (Array[(Int, Double)], Int) = {
     if (n <= 0) return (Array.empty, 0)
     if (ef >= n) {
-      val all = Array.tabulate(n)(i => (i, cosineQF(q, vecs(i))))
+      val all = Array.tabulate(n)(i => (i, score(i)))
       val kept = if (accept == null) all else all.filter(p => accept(p._1))
       java.util.Arrays.sort(kept, ResultOrder)
       return (kept, n)
@@ -183,7 +197,7 @@ object Nsw {
     val visited = new java.util.BitSet(n)
     var visitedCount = 0
     def admit(s: Double, i: Int): Boolean = accept == null || accept(i)
-    val es = cosineQF(q, vecs(entry))
+    val es = score(entry)
     visited.set(entry)
     visitedCount += 1
     cand.enqueue((es, entry))
@@ -200,7 +214,7 @@ object Nsw {
           if (nb < n && !visited.get(nb)) {
             visited.set(nb)
             visitedCount += 1
-            val s = cosineQF(q, vecs(nb))
+            val s = score(nb)
             if (res.size < ef || s > res.head._1) {
               cand.enqueue((s, nb))
               if (admit(s, nb)) {
@@ -447,8 +461,12 @@ object Nsw {
     if (touched.isEmpty) { fresh.unpersist(); return graph }
     val m = graph.params.m
     val efC = graph.params.efConstruction
+    // appended/compacted graphs drop any fused PQ codes (new nodes have
+    // none and the codebooks would be stale) — re-run attachPq if needed
     val untouchedRows = graph.adj.filter(!col("c").isin(touched.toSeq: _*))
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
     val existing = graph.adj.filter(col("c").isin(touched.toSeq: _*))
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .map { case (c, k, v, nb, e) => (c, k, v, nb, e, false) }
     val incoming = fresh.as[(Int, Long, Seq[Float])]
@@ -521,9 +539,11 @@ object Nsw {
       .select("c").distinct().as[Int].collect().toSet
     if (affected.isEmpty) return graph.copy(deleted = Array.emptyLongArray)
     val untouchedRows = graph.adj.filter(!col("c").isin(affected.toSeq: _*))
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
     val m = graph.params.m
     val efC = graph.params.efConstruction
     val rebuilt = graph.adj.filter(col("c").isin(affected.toSeq: _*))
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .mapPartitions { it =>
         val byCluster = new java.util.HashMap[Int,
@@ -577,6 +597,7 @@ object Nsw {
     val probed = if (graph.clusterLocal) probed0
                  else probed0.repartition(math.max(1, probes.size), col("c"))
     val out = probed
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .mapPartitions { it =>
         val byCluster = new java.util.HashMap[Int,
@@ -607,6 +628,143 @@ object Nsw {
     } else out
   }
 
+  /** Attach PQ codes to the graph: train codebooks on the graph's own
+    * vectors (bounded deterministic sample, Pq.train contract) and store
+    * an m-byte code INLINE with each node's adjacency row — the
+    * reference's fused layout (graph/disk/FusedADC.java:62-64,87-106
+    * keeps neighbor codes beside the adjacency so traversal never touches
+    * full vectors). [[topKFused]] then navigates on ADC lookups: at the
+    * documented 10^6-node/0.5 GB cluster target, the beam's working set
+    * drops from 4·d bytes/node to m bytes/node (~16-32x). */
+  def attachPq(spark: SparkSession, graph: Graph, m: Int,
+               anisotropicThreshold: Double = 0.0): Graph = {
+    import spark.implicits._
+    val model = Pq.train(spark, graph.adj.select(col("key"), col("v")),
+      "key", "v", m)
+    val pcm = if (anisotropicThreshold > 0)
+      Pq.parallelCostMultiplier(anisotropicThreshold, model.dim) else 0.0
+    val mB = spark.sparkContext.broadcast(model)
+    val adj2 = graph.adj
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .map { case (c, k, v, nb, e) =>
+        val arr = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        val code = if (pcm > 0) mB.value.encodeOneAnisotropic(arr, pcm)
+                   else mB.value.encodeOne(arr)
+        (c, k, v, nb, e, code)
+      }.toDF("c", "key", "v", "nbrs", "entry", "code")
+    // narrow map: the cluster layout is preserved
+    val out = Graph(adj2.persist(), graph.centroids, graph.params,
+      graph.clusterLocal, graph.deleted, Some(model))
+    out.adj.count()
+    graph.adj.unpersist()
+    out
+  }
+
+  /** PQ-fused search (reference GraphSearcher.java:330-348 approximate
+    * traversal + exact rerank, with FusedADC's inline codes): the beam
+    * scores nodes by ADC cosine over their m-byte codes (2 table lookups
+    * per subspace: query·centroid partial dots + centroid partial
+    * magnitudes — the CosineDecoder shape, pq/PQDecoder.java), then the
+    * surviving <= ef candidates are rescored EXACTLY on their full
+    * vectors before the top-k cut. Navigation is approximate, results are
+    * exact-scored — result quality depends only on whether the true
+    * top-k survive the beam, which NswSpec pins against the exact-vector
+    * beam knob-for-knob. */
+  def topKFused(graph: Graph, query: Seq[Float], k: Int, nProbe: Int,
+                ef: Int, metrics: SearchMetrics = null): DataFrame = {
+    val model = graph.pq.getOrElse(
+      throw new IllegalArgumentException("attachPq first: graph carries no codes"))
+    val spark = graph.adj.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val probes = graph.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    // per-query ADC tables (driver, broadcast): partial dots + partial
+    // centroid magnitudes; approxCos(code) = Σdot / (|q|·sqrt(Σmag))
+    val dotT = model.dotTables(q)
+    val magT = Array.tabulate(model.m) { s =>
+      val cb = model.codebooks(s)
+      Array.tabulate(cb.length) { c =>
+        var d = 0.0
+        var i = 0
+        while (i < cb(c).length) { d += cb(c)(i) * cb(c)(i); i += 1 }
+        d
+      }
+    }
+    var qn = 0.0
+    q.foreach(x => qn += x * x)
+    val invQNorm = if (qn == 0) 0.0 else 1.0 / math.sqrt(qn)
+    val qB = spark.sparkContext.broadcast(q)
+    val tB = spark.sparkContext.broadcast((dotT, magT))
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
+    val kk = k
+    val efq = ef
+    val mSub = model.m
+    val visitedAcc: LongAccumulator =
+      if (metrics == null) null else spark.sparkContext.longAccumulator("nswFusedVisited")
+    val probed0 = graph.adj.filter(col("c").isin(probes: _*))
+    val probed = if (graph.clusterLocal) probed0
+                 else probed0.repartition(math.max(1, probes.size), col("c"))
+    val out = probed
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"), col("code"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean, Array[Byte])]
+      .mapPartitions { it =>
+        val byCluster = new java.util.HashMap[Int,
+          (mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)],
+           mutable.ArrayBuffer[Array[Byte]])]()
+        it.foreach { case (c, k, v, nb, e, code) =>
+          val slot = byCluster.computeIfAbsent(c,
+            _ => (new mutable.ArrayBuffer, new mutable.ArrayBuffer))
+          slot._1.append((k, toFloatArray(v), nb.toArray, e))
+          slot._2.append(code)
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (_, (rows, codesUnsorted)) =>
+          // assemble() sorts by key: apply the same permutation to codes
+          val order = rows.indices.sortBy(rows(_)._1)
+          val codes = order.map(codesUnsorted(_)).toArray
+          val ca = assemble(rows)
+          val (dt, mt) = tB.value
+          def approxCos(i: Int): Double = {
+            val code = codes(i)
+            var dot = 0.0
+            var mag = 0.0
+            var s = 0
+            while (s < mSub) {
+              val ci = code(s) & 0xFF
+              dot += dt(s)(ci); mag += mt(s)(ci); s += 1
+            }
+            if (mag == 0) 0.0 else dot * invQNorm / math.sqrt(mag)
+          }
+          val dead = deadB.value
+          val accept: Int => Boolean =
+            if (dead.isEmpty) null else i => !dead.contains(ca.keys(i))
+          val (approx, visited) = beamSearchBy(approxCos, ca.adj,
+            ca.vecs.length, ca.entry, efq, accept)
+          if (visitedAcc != null) visitedAcc.add(visited.toLong)
+          // exact rerank of the beam's survivors (extractScores analog)
+          val exact = approx.map { case (i, _) => (i, cosineQF(qB.value, ca.vecs(i))) }
+          java.util.Arrays.sort(exact, ResultOrder)
+          exact.take(kk).iterator.map { case (i, s) => (ca.keys(i), s) }
+        }
+      }.toDF("key", "sim")
+      .orderBy(col("sim").desc, col("key").asc)
+      .limit(k)
+    if (metrics != null) {
+      val rows = out.collect()
+      metrics.visited = visitedAcc.value
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+    } else out
+  }
+
   /** Persist: centroid/param/tombstone meta as format-versioned JSON,
     * adjacency parquet PARTITIONED BY cluster — a loaded graph's probe
     * filter prunes whole partition directories at the file level (same
@@ -624,6 +782,13 @@ object Nsw {
       : com.fasterxml.jackson.databind.JsonNode)
     root.set("deleted", mapper.valueToTree(graph.deleted)
       : com.fasterxml.jackson.databind.JsonNode)
+    graph.pq.foreach { model =>
+      val pq = root.putObject("pq")
+      pq.put("m", model.m)
+      pq.put("dim", model.dim)
+      val _ = pq.set[com.fasterxml.jackson.databind.JsonNode]("codebooks",
+        mapper.valueToTree(model.codebooks))
+    }
     graft.index.SegmentCatalog.publishJson(spark, s"$dir/meta.json",
       mapper.writeValueAsBytes(root))
   }
@@ -650,16 +815,32 @@ object Nsw {
     val params = Params(m = mNode.get("m").asInt(),
       efConstruction = mNode.get("efConstruction").asInt(),
       kCenters = centroids.length)
+    val pqModel =
+      if (mNode.has("pq")) {
+        val pn = mNode.get("pq")
+        val cbNode = pn.get("codebooks")
+        val codebooks = Array.tabulate(cbNode.size()) { s =>
+          val sub = cbNode.get(s)
+          Array.tabulate(sub.size()) { c =>
+            val cent = sub.get(c)
+            Array.tabulate(cent.size())(cent.get(_).asDouble())
+          }
+        }
+        Some(Pq.Model(pn.get("m").asInt(), pn.get("dim").asInt(), codebooks))
+      } else None
     val raw = spark.read.parquet(s"$dir/adj")
     // v1 back-compat: double vectors, no entry flag (entry = smallest-key
-    // node, i.e. local index 0 — the v1 search behavior)
-    val adj = raw
-      .select(col("c").cast("int").as("c"), col("key"),
-        transform(col("v"), x => x.cast("float")).as("v"), col("nbrs"),
-        (if (raw.columns.contains("entry")) col("entry") else lit(false))
-          .as("entry"))
+    // node, i.e. local index 0 — the v1 search behavior); fused codes ride
+    // along when the graph was saved with attachPq
+    val baseCols = Seq(col("c").cast("int").as("c"), col("key"),
+      transform(col("v"), x => x.cast("float")).as("v"), col("nbrs"),
+      (if (raw.columns.contains("entry")) col("entry") else lit(false))
+        .as("entry"))
+    val cols = if (raw.columns.contains("code")) baseCols :+ col("code") else baseCols
+    val adj = raw.select(cols: _*)
     // clusterLocal = false: the scan's split planning knows nothing about
     // cluster boundaries — search must reassemble probed clusters
-    Graph(adj, centroids, params, clusterLocal = false, deleted = deleted)
+    Graph(adj, centroids, params, clusterLocal = false, deleted = deleted,
+      pq = if (raw.columns.contains("code")) pqModel else None)
   }
 }

@@ -311,6 +311,57 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
     g0.unpersist()
   }
 
+  test("PQ-fused traversal: ADC navigation + exact rerank tracks the exact-vector beam") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    val emb = clustered(rnd, 2000, 32, 8).toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 48, kCenters = 8, iters = 2))
+    val g = Nsw.attachPq(spark, g0, m = 8) // 8 bytes/node vs 128 (float32)
+    assert(g.pq.isDefined && g.adj.columns.contains("code"))
+    val queries = (601 to 610).map(s => randVec(new scala.util.Random(s), 32))
+    def recallOf(run: Seq[Float] => Set[Long]): Double = {
+      val hits = queries.map { q =>
+        val truth = bruteTop(emb, q, 10).toSet
+        (truth & run(q)).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    val rExact = recallOf(q => Nsw.topK(g, q, 10, nProbe = 4, ef = 48)
+      .select($"key").as[Long].collect().toSet)
+    val m = new Nsw.SearchMetrics
+    val rFused = recallOf(q => Nsw.topKFused(g, q, 10, nProbe = 4, ef = 48,
+      metrics = if (q == queries.head) m else null)
+      .select($"key").as[Long].collect().toSet)
+    info(f"recall@10 nProbe=4 ef=48: exact-vector beam $rExact%.3f, PQ-fused $rFused%.3f")
+    assert(m.visited > 0)
+    // ADC navigation may lose a little recall to code quantization, never
+    // much — and the final SCORES are exact either way
+    assert(rFused >= rExact - 0.08,
+      f"fused recall $rFused%.3f fell too far below exact $rExact%.3f")
+    // returned scores are exact cosine: where both paths return a key,
+    // the score must be IDENTICAL (rerank uses the same kernel)
+    val q0 = queries.head
+    val ex = Nsw.topK(g, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toMap
+    val fu = Nsw.topKFused(g, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toMap
+    val common = ex.keySet & fu.keySet
+    assert(common.nonEmpty && common.forall(k => ex(k) == fu(k)),
+      "fused results must carry exact scores")
+    // fused codes + model survive save/load; fused search identical after
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-fused").toString
+    Nsw.save(spark, g, dir)
+    val loaded = Nsw.load(spark, dir)
+    assert(loaded.pq.isDefined)
+    val before = Nsw.topKFused(g, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toSeq
+    val after = Nsw.topKFused(loaded, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toSeq
+    assert(before == after)
+    g.unpersist()
+  }
+
   test("fragmented loaded graph reassembles clusters before beam search") {
     import spark.implicits._
     // A load()ed graph's clusters arrive split across scan partitions at
