@@ -183,6 +183,42 @@ object IndexCli {
         }
         spark.stop()
 
+      case "annserve" =>
+        // vector serving loop — the direct analog of the reference's only
+        // service protocol (jvector IPCService.java:239-306 SEARCH over a
+        // resident graph): load a saved NSW graph once, pin per-cluster
+        // arrays hot (HotAnn), answer "[nProbe ef] f,f,..." lines with
+        // probe-pruned runJob searches, ~10 ms warm.
+        if (args.length < 2) { usage(); sys.exit(2) }
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val kAnn = if (args.length > 2) args(2).toInt else 10
+        val g = graft.ops.Nsw.load(spark, args(1))
+        val hotAnn = graft.ops.HotAnn(g)
+        println(s"ready: ${g.centroids.length} clusters, k=$kAnn " +
+          "(per line: 'v1,v2,...' or ':p <nProbe> <ef> v1,v2,...'; " +
+          "empty line or EOF quits)")
+        val inA = scala.io.Source.stdin.getLines()
+        var goA = true
+        while (goA && inA.hasNext) {
+          val line = inA.next().trim
+          if (line.isEmpty) goA = false
+          else {
+            val t0 = System.nanoTime()
+            val (nProbe, ef, vecStr) = line.split("\\s+").toList match {
+              case ":p" :: np :: e :: rest => (np.toInt, e.toInt, rest.mkString)
+              case _ => (math.min(4, g.centroids.length), 48, line)
+            }
+            val v = vecStr.split(",").filter(_.nonEmpty).map(_.toFloat).toSeq
+            val hits = hotAnn.topK(v, kAnn, nProbe, ef)
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[$ms%.1f ms] " + hits.map { case (key, s) =>
+              f"$key:$s%.4f" }.mkString(" "))
+          }
+        }
+        hotAnn.close()
+        spark.stop()
+
       case "explain" =>
         // plan audit: show that the candidate-block scan prunes by bucket
         // partition + term pushdown before anything shuffles
@@ -210,6 +246,7 @@ object IndexCli {
       |  stats <indexDir>
       |  snapshots <indexDir>
       |  expire <indexDir> [keepLast]
-      |  gc <indexDir> [graceMs]         (delete chunks no snapshot references)
+      |  gc <indexDir> [graceMs]         (delete chunks/artifacts nothing references)
+      |  annserve <graphDir> [k]         (interactive vector search over a saved NSW graph)
       |  explain <indexDir> <term> [term...]""".stripMargin)
 }
