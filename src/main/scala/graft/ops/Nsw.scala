@@ -637,10 +637,22 @@ object Nsw {
     * documented 10^6-node/0.5 GB cluster target, the beam's working set
     * drops from 4·d bytes/node to m bytes/node (~16-32x). */
   def attachPq(spark: SparkSession, graph: Graph, m: Int,
-               anisotropicThreshold: Double = 0.0): Graph = {
+               anisotropicThreshold: Double = 0.0): Graph =
+    attachPqWith(spark, graph,
+      Pq.train(spark, graph.adj.select(col("key"), col("v")), "key", "v", m),
+      anisotropicThreshold)
+
+  /** Re-encode against an EXISTING model (no retrain) — how a fused graph
+    * composes with [[append]]/[[compact]], which deliberately drop codes
+    * (new nodes have none): re-attach with the model the graph was fused
+    * with and unchanged nodes get byte-identical codes back (encode is a
+    * pure function of (model, vector)), while only the re-encode map —
+    * one narrow pass — is paid. The reference's incremental writer
+    * re-encodes the same way (PQVectors are rebuilt from the same
+    * ProductQuantization when vectors are added). */
+  def attachPqWith(spark: SparkSession, graph: Graph, model: Pq.Model,
+                   anisotropicThreshold: Double = 0.0): Graph = {
     import spark.implicits._
-    val model = Pq.train(spark, graph.adj.select(col("key"), col("v")),
-      "key", "v", m)
     val pcm = if (anisotropicThreshold > 0)
       Pq.parallelCostMultiplier(anisotropicThreshold, model.dim) else 0.0
     val mB = spark.sparkContext.broadcast(model)

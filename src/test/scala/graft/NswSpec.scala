@@ -359,6 +359,24 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = Nsw.topKFused(loaded, q0, 10, nProbe = 4, ef = 48)
       .as[(Long, Double)].collect().toSeq
     assert(before == after)
+    // incremental + fused compose: append drops codes (new nodes have
+    // none); re-attaching with the SAME model restores byte-identical
+    // codes for unchanged nodes and fused search works over the union
+    val extra = (5000L until 5100L).map(i => (i, randVec(new scala.util.Random(i.toInt), 32)))
+      .toDF("vec_id", "embedding")
+    val appended = Nsw.append(spark, g, extra, "vec_id", "embedding")
+    assert(appended.pq.isEmpty && !appended.adj.columns.contains("code"))
+    val refused = Nsw.attachPqWith(spark, appended, g.pq.get)
+    val oldCodes = g.adj.select($"key", $"code").as[(Long, Array[Byte])]
+      .collect().toMap
+    val newCodes = refused.adj.select($"key", $"code").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(oldCodes.forall { case (k, c) =>
+      java.util.Arrays.equals(c, newCodes(k)) },
+      "re-encode with the same model must reproduce unchanged nodes' codes")
+    assert(newCodes.size == oldCodes.size + 100)
+    assert(Nsw.topKFused(refused, q0, 10, nProbe = 4, ef = 48).count() == 10)
+    refused.unpersist()
     g.unpersist()
   }
 
