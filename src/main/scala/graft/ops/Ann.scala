@@ -103,7 +103,7 @@ object Ann {
     centroids
   }
 
-  private[ops] def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int =
+  private[graft] def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int =
     nearestCentroidDist(v, cs)._1
 
   /** (nearest centroid index, squared L2 distance to it). */

@@ -489,7 +489,19 @@ object Nsw {
         byCluster.asScala.iterator.flatMap { case (c, (old, news)) =>
           val ca = assemble(old)
           val n0 = ca.keys.length
-          val add = news.sortInPlaceBy(_._1)
+          // IDEMPOTENT on duplicate keys: a key already in the cluster is
+          // skipped (re-adding a vector is a no-op, and a replayed
+          // streaming batch — StreamingNsw's exactly-once story — must
+          // reproduce the identical graph, not duplicate nodes)
+          val present = new java.util.HashSet[java.lang.Long](n0 * 2)
+          var p = 0
+          while (p < n0) { present.add(ca.keys(p)); p += 1 }
+          val add0 = news.filter(kv => !present.contains(kv._1))
+            .sortInPlaceBy(_._1)
+          val add = new mutable.ArrayBuffer[(Long, Array[Float])](add0.length)
+          add0.foreach { kv => // within-batch duplicates: first one wins
+            if (add.isEmpty || add.last._1 != kv._1) add += kv
+          }
           val n = n0 + add.length
           val keys = java.util.Arrays.copyOf(ca.keys, n)
           val vecs = java.util.Arrays.copyOf(ca.vecs, n)
@@ -785,11 +797,47 @@ object Nsw {
     * metaless payload dir that artifact GC can collect. */
   def save(spark: SparkSession, graph: Graph, dir: String): Unit = {
     graph.adj.write.mode("overwrite").partitionBy("c").parquet(s"$dir/adj")
+    publishMeta(spark, graph, dir, maxStreamBatch = -1L)
+  }
+
+  /** Persist ONLY the touched clusters' partition dirs (dynamic partition
+    * overwrite: untouched cluster files are not rewritten, not even
+    * listed) and republish meta — the incremental write a streaming
+    * append needs at the 10^6-cluster scale, where a full [[save]] per
+    * micro-batch would rewrite the whole graph. Requires `dir` to already
+    * hold a saved graph (the non-touched partitions).
+    * @param maxStreamBatch replay mark recorded in meta (see
+    *   [[graft.streaming.StreamingNsw]]); -1 leaves batch history
+    *   unclaimed. */
+  def saveTouched(spark: SparkSession, graph: Graph, dir: String,
+                  touched: Set[Int], maxStreamBatch: Long = -1L): Unit = {
+    if (touched.nonEmpty)
+      graph.adj.filter(col("c").isin(touched.toSeq: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c").parquet(s"$dir/adj")
+    publishMeta(spark, graph, dir, maxStreamBatch)
+  }
+
+  /** The replay mark of a saved graph (-1 when none recorded). */
+  def loadStreamBatch(spark: SparkSession, dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/meta.json"))
+    val json = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (m.has("maxStreamBatch")) m.get("maxStreamBatch").asLong() else -1L
+  }
+
+  private def publishMeta(spark: SparkSession, graph: Graph, dir: String,
+                          maxStreamBatch: Long): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("formatVersion", FormatVersion)
     root.put("m", graph.params.m)
     root.put("efConstruction", graph.params.efConstruction)
+    if (maxStreamBatch >= 0) root.put("maxStreamBatch", maxStreamBatch)
     root.set("centroids", mapper.valueToTree(graph.centroids)
       : com.fasterxml.jackson.databind.JsonNode)
     root.set("deleted", mapper.valueToTree(graph.deleted)

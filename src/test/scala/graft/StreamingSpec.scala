@@ -26,6 +26,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("StreamingNsw: micro-batch vector appends, touched-only writes, replay-safe mark") {
+    import spark.implicits._
+    import graft.ops.{Ann, Nsw}
+    val dir = java.nio.file.Files.createTempDirectory("graft-snsw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snsw-ckpt").toString
+    val rnd = new scala.util.Random(45)
+    val cs = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    def near(c: Int, noise: Double, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      cs(c).map(x => (x + noise * r.nextGaussian()).toFloat).toSeq
+    }
+    val base = (0L until 400L).map(i => (i, near((i % 4).toInt, 0.3, i.toInt)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, baseDf, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    Nsw.save(spark, g0, dir)
+    g0.unpersist()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingNsw.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir, ckpt)
+    // batch 0: vectors across all clusters
+    val b1 = (1000L until 1080L).map(i => (i, near((i % 4).toInt, 0.3, i.toInt)))
+    mem.addData(b1)
+    q.processAllAvailable()
+    // record per-cluster partition files before a single-cluster batch
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def filesOf(c: Int): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/adj/c=$c")
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).map(st =>
+        st.getPath.getName -> st.getModificationTime).toMap
+    }
+    val snap = (0 until 4).map(filesOf)
+    // batch 1: vectors hugging centroid 0 only
+    val loadedMid = Nsw.load(spark, dir)
+    val c0 = loadedMid.centroids.zipWithIndex.minBy { case (c, _) =>
+      c.zip(cs(0)).map { case (x, y) => (x - y) * (x - y) }.sum
+    }._2 // the saved-centroid id nearest generator cluster 0
+    val b2 = (2000L until 2030L).map { i =>
+      (i, loadedMid.centroids(c0).map(x => (x + 0.01 * new scala.util.Random(i.toInt)
+        .nextGaussian()).toFloat).toSeq)
+    }
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    // touched-only persistence: at least the untouched clusters' files are
+    // byte-for-byte the same objects (same names, same mtimes)
+    val untouchedUnchanged = (0 until 4).count(c =>
+      c != c0 && filesOf(c) == snap(c))
+    assert(untouchedUnchanged == 3,
+      s"expected 3 untouched cluster dirs unchanged, got $untouchedUnchanged")
+    assert(filesOf(c0) != snap(c0), "the touched cluster must have been rewritten")
+    // the union serves exactly: exact-mode search == brute force over all
+    val loaded = Nsw.load(spark, dir)
+    val allDf = (base ++ b1 ++ b2).toDF("vec_id", "embedding")
+    val qv = near(1, 0.2, 9999)
+    val got = Nsw.topK(loaded, qv, 10, nProbe = 4, ef = Int.MaxValue)
+      .select($"key").as[Long].collect().toSeq
+    val want = Ann.bruteTopK(allDf, "vec_id", "embedding", qv, 10, Ann.Cosine)
+      .select($"key").as[Long].collect().toSeq
+    assert(got == want, "streamed graph diverged from brute force over the union")
+    // replay mark recorded; an append REPLAY of batch 1 is a no-op
+    assert(Nsw.loadStreamBatch(spark, dir) == 1L)
+    val replayed = Nsw.append(spark, loaded, b2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val a = loaded.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    val b = replayed.adj.select($"key", $"nbrs").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, "duplicate-key append must be a graph no-op (replay heal)")
+    replayed.unpersist()
+  }
+
   test("incremental streaming ingest + refresh == brute force over full corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
