@@ -43,16 +43,17 @@ object AnisoProbe {
       val c = centers(r.nextInt(centers.length))
       unit(c.map(_ + 0.45 * r.nextGaussian()))
     }
-    def recall(codes: org.apache.spark.sql.DataFrame): Double = {
+    def recallW(m2: Pq.Model, codes: org.apache.spark.sql.DataFrame): Double = {
       val hits = queries.map { q =>
         val truth = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Dot)
           .select($"key").as[Long].collect().toSet
-        val got = Pq.topKDot(spark, codes, emb, "vec_id", "embedding", model,
+        val got = Pq.topKDot(spark, codes, emb, "vec_id", "embedding", m2,
           q, 10, rerankFactor = 1).select($"key").as[Long].collect().toSet
         (truth & got).size
       }.sum
       hits / (10.0 * queries.size)
     }
+    def recall(codes: org.apache.spark.sql.DataFrame): Double = recallW(model, codes)
     val pm = plain.as[(Long, Array[Byte])].collect().toMap
     println(f"m=$mSub plain recall: ${recall(plain)}%.3f")
     for (t <- Seq(0.2, 0.35, 0.5, 0.65, 0.8)) {
@@ -62,6 +63,16 @@ object AnisoProbe {
       val moved = am.count { case (k, c) => !java.util.Arrays.equals(c, pm(k)) }
       println(f"T=$t pcm=${Pq.parallelCostMultiplier(t, dim)}%.2f " +
         f"moved=$moved/3000 recall=${recall(a)}%.3f")
+      a.unpersist()
+    }
+    // round-5: anisotropic codebook TRAINING (the per-centroid solve) on
+    // top of the anisotropic assignment — the full SCANN loop
+    for (t <- Seq(0.2, 0.35, 0.5); oi <- Seq(2, 4, 8)) {
+      val mt = Pq.trainAnisotropic(spark, emb, "vec_id", "embedding",
+        m = mSub, threshold = t, iters = 5, outerIters = oi)
+      val a = Pq.encode(spark, emb, "vec_id", "embedding", mt,
+        anisotropicThreshold = t).persist()
+      println(f"TRAINED T=$t outer=$oi recall=${recallW(mt, a)}%.3f")
       a.unpersist()
     }
     spark.stop()

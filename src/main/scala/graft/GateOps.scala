@@ -166,6 +166,24 @@ object GateOps {
     ranked(res, asc = false)
   }
 
+  /** LVQ path in exact mode (rerank covers the gate corpus, like annBq) so
+    * the oracle is brute-force cosine; small rerankFactor is the
+    * production knob (recall + BQ-dominance pinned in OpsSpec). Serves
+    * through a save -> load round-trip like the other ANN gates. */
+  def annLvq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model0 = Lvq.train(spark, emb, "vec_id", "embedding")
+    val codes0 = Lvq.encode(spark, emb, "vec_id", "embedding", model0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lvq").toString
+    Lvq.save(spark, model0, codes0, dir)
+    val (model, codes) = Lvq.load(spark, dir)
+    val nAll = emb.count()
+    val res = Lvq.topK(spark, codes, emb, "vec_id", "embedding", model,
+      queryVec(spark, sfDir, 5), 10,
+      rerankFactor = ((nAll + 9) / 10).toInt.max(1))
+    ranked(res, asc = false)
+  }
+
   /** Graph path (cluster-partitioned NSW, Nsw.scala) in exact mode —
     * nProbe == kCenters and ef >= cluster size, so the beam frontier
     * admits every node and the oracle is brute-force cosine (the same
@@ -181,6 +199,22 @@ object GateOps {
     val g = Nsw.load(spark, dir)
     ranked(Nsw.topK(g, queryVec(spark, sfDir, 3), 10,
       nProbe = g.params.kCenters, ef = Int.MaxValue), asc = false)
+  }
+
+  /** Vector threshold (range) search in exact mode — nProbe == kCenters
+    * and maxVisit >= cluster size, so the flood degenerates to the exact
+    * scan and the oracle is brute-force `sim >= tau` (the same exactness
+    * convention as the other ANN gates); production knobs (the tau-level
+    * flood) are measured in NswSpec. */
+  def annThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 32, kCenters = 8, iters = 2))
+    val res = Nsw.threshold(g, queryVec(spark, sfDir, 6), tau = 0.25,
+      nProbe = g.params.kCenters, maxVisit = Int.MaxValue)
+    res.select(col("key").as("vec_id"),
+        round(col("sim") * 10000).cast("long").as("sim_q"))
+      .orderBy(col("vec_id"))
   }
 
   // ---------- multimodal ----------

@@ -120,6 +120,14 @@ object GateOpsOracle {
   val annPq: String = annSql("list_distance(embedding::DOUBLE[], q.qv)", 2, asc = true)
   val annGraph: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 3, asc = false)
   val annBq: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 4, asc = false)
+  val annLvq: String = annSql("list_cosine_similarity(embedding::DOUBLE[], q.qv)", 5, asc = false)
+
+  val annThreshold: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 6),
+      |s AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], q.qv) AS sim
+      |      FROM embeddings, q)
+      |SELECT vec_id, CAST(round(sim * 10000) AS BIGINT) AS sim_q
+      |FROM s WHERE sim >= 0.25 ORDER BY vec_id""".stripMargin
 
   // even doc_id: the real BMP header parse must recover the synthesized
   // dimensions (file size = 54-byte header + height * 4-padded 24bpp row

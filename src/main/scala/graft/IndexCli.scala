@@ -184,39 +184,18 @@ object IndexCli {
         spark.stop()
 
       case "annserve" =>
-        // vector serving loop — the direct analog of the reference's only
-        // service protocol (jvector IPCService.java:239-306 SEARCH over a
-        // resident graph): load a saved NSW graph once, pin per-cluster
-        // arrays hot (HotAnn), answer "[nProbe ef] f,f,..." lines with
-        // probe-pruned runJob searches, ~10 ms warm.
+        // vector serving loop — the direct analog of the reference's IPC
+        // service protocol (jvector IPCService.java:84-97,107-230: SEARCH
+        // plus the WRITE/DELETE/OPTIMIZE mutation commands over a resident
+        // graph): load a saved NSW graph once, pin per-cluster arrays hot
+        // (HotAnn), answer searches from the cache (~10 ms warm) and apply
+        // mutations with a durable write + cache refresh.
         if (args.length < 2) { usage(); sys.exit(2) }
         val spark = session(cpus)
         spark.sparkContext.setLogLevel("WARN")
         val kAnn = if (args.length > 2) args(2).toInt else 10
-        val g = graft.ops.Nsw.load(spark, args(1))
-        val hotAnn = graft.ops.HotAnn(g)
-        println(s"ready: ${g.centroids.length} clusters, k=$kAnn " +
-          "(per line: 'v1,v2,...' or ':p <nProbe> <ef> v1,v2,...'; " +
-          "empty line or EOF quits)")
-        val inA = scala.io.Source.stdin.getLines()
-        var goA = true
-        while (goA && inA.hasNext) {
-          val line = inA.next().trim
-          if (line.isEmpty) goA = false
-          else {
-            val t0 = System.nanoTime()
-            val (nProbe, ef, vecStr) = line.split("\\s+").toList match {
-              case ":p" :: np :: e :: rest => (np.toInt, e.toInt, rest.mkString)
-              case _ => (math.min(4, g.centroids.length), 48, line)
-            }
-            val v = vecStr.split(",").filter(_.nonEmpty).map(_.toFloat).toSeq
-            val hits = hotAnn.topK(v, kAnn, nProbe, ef)
-            val ms = (System.nanoTime() - t0) / 1e6
-            println(f"[$ms%.1f ms] " + hits.map { case (key, s) =>
-              f"$key:$s%.4f" }.mkString(" "))
-          }
-        }
-        hotAnn.close()
+        annServeLoop(spark, args(1), kAnn,
+          scala.io.Source.stdin.getLines(), println(_))
         spark.stop()
 
       case "explain" =>
@@ -237,6 +216,93 @@ object IndexCli {
     }
   }
 
+  /** The annserve command loop, factored off stdin so the serve protocol
+    * is testable end-to-end (EngineSpec drives it with scripted lines).
+    *
+    * Protocol (one command per line; reference IPCService.java:84-97):
+    *   v1,v2,...                    SEARCH (default knobs)
+    *   :p <nProbe> <ef> v1,v2,...   SEARCH with explicit knobs
+    *   :w <key> v1,v2,...           WRITE — append one vector (durable:
+    *                                touched cluster partitions + meta)
+    *   :del <key>[,<key>...]        DELETE — tombstone keys (meta only)
+    *   :opt                         OPTIMIZE — compact tombstones away,
+    *                                re-attach PQ codes if the graph was
+    *                                fused, full durable save
+    *   (empty line / EOF)           quit
+    *
+    * Refresh protocol: a WRITE or OPTIMIZE changes cluster contents, so
+    * the per-cluster serving cache rebuilds (close + re-pin); DELETE only
+    * changes the deny set, so the cache is REUSED via HotAnn.withDeleted
+    * (O(1) — same pinned arrays, new filter). Searches between commands
+    * always see the latest committed state. */
+  private[graft] def annServeLoop(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, kAnn: Int,
+                                  in: Iterator[String],
+                                  out: String => Unit): Unit = {
+    import graft.ops.{HotAnn, Nsw, Pq}
+    var g = Nsw.load(spark, dir)
+    // remember the fused model (if any) so OPTIMIZE can re-attach after
+    // compact (append/compact drop codes by contract)
+    val fusedModel: Option[Pq.Model] = g.pq
+    var hot = HotAnn(g)
+    out(s"ready: ${g.centroids.length} clusters, k=$kAnn " +
+      "(SEARCH 'v1,v2,...' | ':p <nProbe> <ef> v...' | WRITE ':w <key> v...' " +
+      "| DELETE ':del k,k' | OPTIMIZE ':opt'; empty line or EOF quits)")
+    def parseVec(s: String): Seq[Float] =
+      s.split(",").filter(_.nonEmpty).map(_.toFloat).toSeq
+    var go = true
+    while (go && in.hasNext) {
+      val line = in.next().trim
+      if (line.isEmpty) go = false
+      else {
+        val t0 = System.nanoTime()
+        def ms = (System.nanoTime() - t0) / 1e6
+        line.split("\\s+").toList match {
+          case ":w" :: key :: rest =>
+            import spark.implicits._
+            val batch = Seq((key.toLong, parseVec(rest.mkString)))
+              .toDF("key", "v")
+            val (next, touched) = Nsw.appendTouched(spark, g, batch, "key", "v")
+            Nsw.saveTouched(spark, next, dir, touched)
+            g = next
+            hot.close()
+            hot = HotAnn(g) // membership changed: re-pin touched arrays
+            out(f"[$ms%.1f ms] WROTE $key (clusters ${touched.mkString(",")})")
+          case ":del" :: ids :: Nil =>
+            g = Nsw.delete(g, ids.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+            Nsw.saveTouched(spark, g, dir, Set.empty) // meta-only publish
+            hot = hot.withDeleted(g.deleted.toSet) // O(1): same pinned arrays
+            out(f"[$ms%.1f ms] DELETED (${g.deleted.length} live tombstones)")
+          case ":opt" :: Nil =>
+            val compacted = Nsw.compact(spark, g)
+            val next0 = fusedModel match {
+              case Some(model) if compacted ne g =>
+                Nsw.attachPqWith(spark, compacted, model)
+              case _ => compacted
+            }
+            // sever lineage before overwriting the dir the plan reads
+            // (same hazard saveTouched guards; full save here)
+            val next = if (next0 ne g)
+              next0.copy(adj = next0.adj.localCheckpoint(true)) else next0
+            if (next0 ne g) next0.adj.unpersist()
+            Nsw.save(spark, next, dir)
+            if (next ne g) { g = next; hot.close(); hot = HotAnn(g) }
+            out(f"[$ms%.1f ms] OPTIMIZED (${g.adj.count()} nodes, " +
+              s"${g.deleted.length} tombstones)")
+          case cmd =>
+            val (nProbe, ef, vecStr) = cmd match {
+              case ":p" :: np :: e :: rest => (np.toInt, e.toInt, rest.mkString)
+              case _ => (math.min(4, g.centroids.length), 48, line)
+            }
+            val hits = hot.topK(parseVec(vecStr), kAnn, nProbe, ef)
+            out(f"[$ms%.1f ms] " + hits.map { case (key, s) =>
+              f"$key:$s%.4f" }.mkString(" "))
+        }
+      }
+    }
+    hot.close()
+  }
+
   private def usage(): Unit = System.err.println(
     """usage: IndexCli <subcommand>
       |  build <parquetPath|synth:N> <indexDir> [numChunks]
@@ -247,6 +313,8 @@ object IndexCli {
       |  snapshots <indexDir>
       |  expire <indexDir> [keepLast]
       |  gc <indexDir> [graceMs]         (delete chunks/artifacts nothing references)
-      |  annserve <graphDir> [k]         (interactive vector search over a saved NSW graph)
+      |  annserve <graphDir> [k]         (interactive vector service: SEARCH lines,
+      |                                   ':w <key> v,v,..' write, ':del k,k' delete,
+      |                                   ':opt' compact+refresh — IPC-service parity)
       |  explain <indexDir> <term> [term...]""".stripMargin)
 }

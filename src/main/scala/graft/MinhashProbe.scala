@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object MinhashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.1")
+    val t0c = System.nanoTime()
+    val n0 = GateOps.dedupMinhash(spark, sf).count()
+    println(f"cold: ${(System.nanoTime()-t0c)/1e9}%.2f s rows=$n0")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = GateOps.dedupMinhash(spark, sf).count()
+      println(f"run $i: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -39,6 +39,8 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => GateOps.annPq(s, d)),
     "ann_graph" -> ((s, d) => GateOps.annGraph(s, d)),
     "ann_bq" -> ((s, d) => GateOps.annBq(s, d)),
+    "ann_lvq" -> ((s, d) => GateOps.annLvq(s, d)),
+    "ann_threshold" -> ((s, d) => GateOps.annThreshold(s, d)),
     "multimodal_meta" -> ((s, d) => GateOps.multimodalMeta(s, d)),
     "rel_q1" -> ((s, d) => GateOps.relQ1(s, d)),
     "rel_join_top10" -> ((s, d) => GateOps.relJoinTop10(s, d)),
@@ -79,6 +81,8 @@ object SparkEntry {
       "ann_pq" -> GateOpsOracle.annPq,
       "ann_graph" -> GateOpsOracle.annGraph,
       "ann_bq" -> GateOpsOracle.annBq,
+      "ann_lvq" -> GateOpsOracle.annLvq,
+      "ann_threshold" -> GateOpsOracle.annThreshold,
       "multimodal_meta" -> GateOpsOracle.multimodalMeta,
       "rel_q1" -> GateOpsOracle.relQ1,
       "rel_join_top10" -> GateOpsOracle.relJoinTop10,

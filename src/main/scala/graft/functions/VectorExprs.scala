@@ -110,6 +110,17 @@ case class DotProd(left: Expression, right: Expression) extends VectorBinaryExpr
   override def prettyName: String = "dot_prod"
 }
 
+/** Squared L2 — kept separate from [[L2Dist]] so callers that previously
+  * summed `zip_with` squares (left-to-right accumulation, no sqrt) get a
+  * bit-identical replacement when swapping onto the codegen kernel. */
+case class L2Dist2(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double = d2
+  override protected def finishJava(dot: String, na2: String, nb2: String, d2: String): String = d2
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_dist2"
+}
+
 case class L2Dist(left: Expression, right: Expression) extends VectorBinaryExpr {
   override protected def finish(dot: Double, na2: Double, nb2: Double, d2: Double): Double =
     math.sqrt(d2)
@@ -130,5 +141,8 @@ object VectorFunctions {
       SparkBridge.expression(b)))
   def l2Dist(a: Column, b: Column): Column =
     SparkBridge.column(L2Dist(SparkBridge.expression(a),
+      SparkBridge.expression(b)))
+  def l2Dist2(a: Column, b: Column): Column =
+    SparkBridge.column(L2Dist2(SparkBridge.expression(a),
       SparkBridge.expression(b)))
 }

@@ -359,7 +359,7 @@ object SegmentCatalog {
     * the commit marker. This maps each payload dir name to its marker. */
   private val ArtifactMarkers = Seq(
     "adj" -> Seq("meta.json"),                  // Nsw.save
-    "codes" -> Seq("model.json", "bq.json"),    // Pq.save / Bq.save
+    "codes" -> Seq("model.json", "bq.json", "lvq.json"), // Pq/Bq/Lvq.save
     "assigned" -> Seq("centroids.json"))        // Ann.saveIvf
 
   /** Collect crashed ANN artifact saves (payload written, commit-marker

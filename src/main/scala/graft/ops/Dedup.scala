@@ -85,24 +85,41 @@ object Dedup {
     jaccardForPairs(sh, candidates, minJ)
   }
 
-  /** Exact Jaccard restricted to a given candidate pair set — the join
-    * order that scales: shingles meet the (small) candidate set FIRST, so
-    * the shingle equi-join never materializes non-candidate pairs. */
-  def jaccardForPairs(sh: DataFrame, pairs: DataFrame, minJ: Double): DataFrame = {
-    val sizes = sh.groupBy(col("key")).agg(count(lit(1)).as("sz"))
-    val withA = pairs.join(sh.toDF("a", "shingle"), "a")
-    val inter = withA.join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sizes, minJ)
-  }
+  /** Exact Jaccard restricted to a given candidate pair set. Verification
+    * runs over PACKED per-doc shingle sets (one row per doc) rather than
+    * per-shingle rows: the row-per-shingle formulation joined candidates
+    * against the exploded table twice, materializing Σ_pairs |sh_a|
+    * intermediate rows (~200x the pair count) through two shuffles; here
+    * each candidate pair meets exactly two packed rows and the
+    * intersection is one hash-set pass. Same exact integers, same double
+    * division — values are identical to the row-per-shingle formulation
+    * (the DuckDB oracles keep using the SQL row form). */
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame, minJ: Double): DataFrame =
+    jaccardForPairsPacked(
+      sh.groupBy(col("key")).agg(collect_list(col("shingle")).as("shset")),
+      pairs, minJ)
 
-  private def withJaccard(inter: DataFrame, sizes: DataFrame, minJ: Double): DataFrame =
-    inter
-      .join(sizes.toDF("a", "sza"), "a")
-      .join(sizes.toDF("b", "szb"), "b")
-      .withColumn("jacc", col("inter") / (col("sza") + col("szb") - col("inter")))
+  /** The verify kernel over packed (key, shset) rows. */
+  private def jaccardForPairsPacked(sets: DataFrame, pairs: DataFrame,
+                                    minJ: Double): DataFrame = {
+    val interSz = udf { (sa: Seq[String], sb: Seq[String]) =>
+      // membership test over the smaller side's hash set
+      val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      val set = new java.util.HashSet[String](small.size * 2)
+      small.foreach(set.add)
+      var n = 0
+      large.foreach(s => if (set.contains(s)) n += 1)
+      n
+    }
+    pairs
+      .join(sets.toDF("a", "seta"), "a")
+      .join(sets.toDF("b", "setb"), "b")
+      .withColumn("inter", interSz(col("seta"), col("setb")))
+      .withColumn("jacc", col("inter") /
+        (size(col("seta")) + size(col("setb")) - col("inter")))
       .filter(col("jacc") >= minJ)
       .select(col("a"), col("b"), col("jacc"))
+  }
 
   /** MinHash signatures: one row per key with numHashes min-hash values,
     * computed as a single hash-aggregate (no UDAF needed). The shingle
@@ -120,27 +137,60 @@ object Dedup {
   /** Banded-LSH candidate pairs + exact-Jaccard verification.
     * numHashes = bands * rowsPerBand; a pair is a candidate iff one band's
     * signature slice matches exactly; candidates (only) are then verified
-    * with exact shingle Jaccard >= threshold. */
+    * with exact shingle Jaccard >= threshold.
+    *
+    * Signatures are computed IN-ROW (one narrow map over documents: the
+    * per-doc shingle set is a local property, and the 64 mins over it even
+    * more so), then exploded to bands·|docs| band rows. The previous
+    * formulation shuffled every (doc, shingle) row through a 64-column
+    * min-aggregate — identical values (same md5-derived 28-bit shingle
+    * hash, same (a·x+b) mod p family: [[minHashSignature]] remains the
+    * declarative twin), but |corpus|·|doc| aggregate input vs |docs|
+    * mapped rows. At 10^12 docs the aggregate's map-side combine already
+    * bounded the SHUFFLE to docs·64; this also removes the combine pass
+    * itself. The shingle table is still materialized once — the exact
+    * verification join needs it regardless. */
   def lshNearDupPairs(docs: DataFrame, keyCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingles(docs, keyCol, textCol).persist()
-    val sig = minHashSignature(sh, numHashes)
-    // band rows: (key, band, bucket) where bucket = the band's slice
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"h${bnd * rows + r}")): _*).as("bucket"))
-    }
-    val banded = sig.select(col("key"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("key"), col("bb.band"), col("bb.bucket"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-doc shingle sets and signatures are both LOCAL properties: the
+    // whole path needs no exploded (doc, shingle) table at all — two
+    // narrow passes over the docs (sets for verification, signatures for
+    // banding). A small gate table may sit in fewer scan partitions than
+    // cores; the heavy per-row kernels earn a spread. At corpus scale the
+    // table already has >> cores partitions and this repartition is the
+    // usual pre-kernel balance, not a new shuffle class.
+    val src = docs.select(col(keyCol).cast("long").as("key"),
+      col(textCol).as("text"))
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    val sets = spread.as[(Long, String)]
+      .map { case (k, t) =>
+        (k, Analyze.shingles5(if (t == null) "" else t).toArray)
+      }.toDF("key", "shset").persist()
+    val params = Analyze.minHashParams(numHashes)
+    val banded = spread.as[(Long, String)]
+      .flatMap { case (k, t) =>
+        val shs = Analyze.shingles5(if (t == null) "" else t)
+        if (shs.isEmpty) Iterator.empty // no shingles -> no bands (as before)
+        else {
+          val sig = Analyze.minHash(shs.map(Analyze.shingleHash31), params)
+          (0 until bands).iterator.map { bnd =>
+            (k, bnd, (0 until rows).map(r => sig(bnd * rows + r)).mkString("_"))
+          }
+        }
+      }.toDF("key", "band", "bucket")
     val l = banded.toDF("a", "band", "bucket")
     val r = banded.toDF("b", "band", "bucket")
     val candidates = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // verify candidates exactly (scales: |candidates| << all pairs, and
-    // the Jaccard join is restricted to them from the start)
-    jaccardForPairs(sh, candidates, threshold)
+    // verify candidates exactly (scales: |candidates| << all pairs, each
+    // meeting two packed set rows — see jaccardForPairs)
+    jaccardForPairsPacked(sets.filter(size(col("shset")) > 0),
+      candidates, threshold)
   }
 
   /** Exact cosine over the (va, vb) candidate columns — fused-loop codegen
@@ -193,7 +243,9 @@ object Dedup {
     import spark.implicits._
     val e = emb.select(col(keyCol).as("k"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val nrm = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    // codegen norm kernel: dot(v, v) accumulates x*x left-to-right — the
+    // exact fp order of the aggregate(transform(x*x)) HOF it replaces
+    val nrm = sqrt(graft.functions.VectorFunctions.dotProd(col("v"), col("v")))
     val unit = e.filter(nrm > 0)
       .select(col("k"), col("v"), transform(col("v"), x => x / nrm).as("u"))
       .persist() // auto-k count + k-means sample + assignment share one pass

@@ -56,8 +56,89 @@ final class HotAnn private (
           if (!it.hasNext) (Array.empty[(Long, Double)], 0)
           else {
             val ca = it.next()
-            val accept: Int => Boolean =
-              if (dead.isEmpty) null else i => !dead.contains(ca.keys(i))
+            val accept: (Int, Double) => Boolean =
+              if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
+            val (hits, visited) = Nsw.beamSearch(q, ca.vecs, ca.adj,
+              ca.vecs.length, ca.entry, efq, accept)
+            (hits.take(kk).map { case (i, s) => (ca.keys(i), s) }, visited)
+          },
+        probes.toIndexedSeq)
+    if (metrics != null) metrics.visited = perCluster.map(_._2.toLong).sum
+    val all = perCluster.flatMap(_._1)
+    scala.util.Sorting.stableSort(all,
+      (x: (Long, Double), y: (Long, Double)) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+    all.take(k)
+  }
+
+  /** O(1) deny-set swap: a DELETE only changes the tombstone filter, so
+    * the serving cache (pinned per-cluster arrays) is REUSED — the new
+    * handle shares `parts` with this one (close() on either unpins both;
+    * close exactly one). The membership-changing mutations (WRITE,
+    * OPTIMIZE) need a full re-pin instead. */
+  def withDeleted(d: Set[Long]): HotAnn = new HotAnn(sc, parts, centroids, d)
+
+  private def probesFor(q: Array[Double], nProbe: Int): Array[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
+  /** Serving twin of [[Nsw.threshold]]: all keys with cosine >= tau in
+    * the probed clusters, (sim desc, key asc). Same flood kernel, so
+    * results are identical at the same knobs (NswSpec parity). */
+  def threshold(query: Seq[Float], tau: Double, nProbe: Int,
+                maxVisit: Int = Int.MaxValue,
+                metrics: Nsw.SearchMetrics = null): Array[(Long, Double)] = {
+    val q = query.map(_.toDouble).toArray
+    val probes = probesFor(q, nProbe)
+    val dead = deleted
+    val tauq = tau
+    val mv = maxVisit
+    val perCluster: Array[(Array[(Long, Double)], Int)] =
+      sc.runJob(parts,
+        (it: Iterator[Nsw.ClusterArrays]) =>
+          if (!it.hasNext) (Array.empty[(Long, Double)], 0)
+          else {
+            val ca = it.next()
+            val accept: (Int, Double) => Boolean =
+              if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
+            val (hits, visited) = Nsw.thresholdFlood(
+              i => Nsw.cosineQF(q, ca.vecs(i)), ca.adj,
+              ca.vecs.length, ca.entry, tauq, mv, accept)
+            (hits.map { case (i, s) => (ca.keys(i), s) }, visited)
+          },
+        probes.toIndexedSeq)
+    if (metrics != null) metrics.visited = perCluster.map(_._2.toLong).sum
+    val all = perCluster.flatMap(_._1)
+    scala.util.Sorting.stableSort(all,
+      (x: (Long, Double), y: (Long, Double)) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+    all
+  }
+
+  /** Serving twin of [[Nsw.searchAfter]]: top-k strictly after `cursor`
+    * in (sim desc, key asc) order — page 2+ without refetching page 1. */
+  def searchAfter(query: Seq[Float], k: Int, cursor: (Double, Long),
+                  nProbe: Int, ef: Int,
+                  metrics: Nsw.SearchMetrics = null): Array[(Long, Double)] = {
+    val q = query.map(_.toDouble).toArray
+    val probes = probesFor(q, nProbe)
+    val dead = deleted
+    val (cSim, cKey) = cursor
+    val kk = k
+    val efq = ef
+    val perCluster: Array[(Array[(Long, Double)], Int)] =
+      sc.runJob(parts,
+        (it: Iterator[Nsw.ClusterArrays]) =>
+          if (!it.hasNext) (Array.empty[(Long, Double)], 0)
+          else {
+            val ca = it.next()
+            val accept: (Int, Double) => Boolean = (i, s) =>
+              (s < cSim || (s == cSim && ca.keys(i) > cKey)) &&
+              (dead.isEmpty || !dead.contains(ca.keys(i)))
             val (hits, visited) = Nsw.beamSearch(q, ca.vecs, ca.adj,
               ca.vecs.length, ca.entry, efq, accept)
             (hits.take(kk).map { case (i, s) => (ca.keys(i), s) }, visited)

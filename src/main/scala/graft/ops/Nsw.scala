@@ -78,6 +78,36 @@ object Nsw {
     * node (the v1 search behavior) and no tombstones. */
   val FormatVersion = 2L
 
+  /** Closure cap on the driver-resident tombstone set (the vector twin of
+    * `HotIndex.FilterSetCap`): `Graph.deleted` ships with EVERY search
+    * closure, so it is meant for the small-live-deny-set regime —
+    * [[compact]] is the durable path for anything bigger. */
+  val FilterSetCap = 1000000
+
+  private def requireDenyCapped(deleted: Array[Long]): Unit =
+    require(deleted.length <= FilterSetCap,
+      s"tombstone set of ${deleted.length} keys exceeds the serving closure " +
+      s"cap ($FilterSetCap); Nsw.compact the graph instead of shipping the " +
+      "deny set with every query")
+
+  /** Set-membership predicates that stay O(1) in PLAN size: `isin` builds
+    * one literal expression per element (driver memory + analysis cost
+    * O(|set|) per operation — at the 10^6-cluster target a bulk append or
+    * compact can touch 10^4-10^5 clusters), so beyond a small bound the
+    * predicate becomes a single deterministic closure over the broadcast-
+    * sized Set. The closure form doesn't push into parquet partition
+    * pruning, which is why small sets (search probes, nProbe <= 64) keep
+    * the literal form. */
+  private val InlineSetMax = 64
+  private[ops] def inIntSet(c: org.apache.spark.sql.Column,
+                            s: Set[Int]): org.apache.spark.sql.Column =
+    if (s.size <= InlineSetMax) c.isin(s.toSeq: _*)
+    else udf((x: Int) => s.contains(x)).apply(c)
+  private[ops] def inLongSet(c: org.apache.spark.sql.Column,
+                             s: Set[Long]): org.apache.spark.sql.Column =
+    if (s.size <= InlineSetMax) c.isin(s.toSeq: _*)
+    else udf((x: Long) => s.contains(x)).apply(c)
+
   /** @param m             edges added per insert (degree cap = 2m)
     * @param efConstruction beam width while building
     * @param kCenters      coarse clusters = graph partitions
@@ -161,7 +191,7 @@ object Nsw {
     * deleted nodes keep routing until cleanup()). */
   private[ops] def beamSearch(q: Array[Double], vecs: Array[Array[Float]],
                               adj: Array[Array[Int]], n: Int, entry: Int,
-                              ef: Int, accept: Int => Boolean = null)
+                              ef: Int, accept: (Int, Double) => Boolean = null)
       : (Array[(Int, Double)], Int) =
     beamSearchBy(i => cosineQF(q, vecs(i)), adj, n, entry, ef, accept)
 
@@ -169,12 +199,12 @@ object Nsw {
     * exact full-vector path and the PQ-fused ADC path ([[topKFused]]). */
   private[ops] def beamSearchBy(score: Int => Double,
                                 adj: Array[Array[Int]], n: Int, entry: Int,
-                                ef: Int, accept: Int => Boolean = null)
+                                ef: Int, accept: (Int, Double) => Boolean = null)
       : (Array[(Int, Double)], Int) = {
     if (n <= 0) return (Array.empty, 0)
     if (ef >= n) {
       val all = Array.tabulate(n)(i => (i, score(i)))
-      val kept = if (accept == null) all else all.filter(p => accept(p._1))
+      val kept = if (accept == null) all else all.filter(p => accept(p._1, p._2))
       java.util.Arrays.sort(kept, ResultOrder)
       return (kept, n)
     }
@@ -196,7 +226,7 @@ object Nsw {
     val res = mutable.PriorityQueue.empty[(Double, Int)](worstOrd)
     val visited = new java.util.BitSet(n)
     var visitedCount = 0
-    def admit(s: Double, i: Int): Boolean = accept == null || accept(i)
+    def admit(s: Double, i: Int): Boolean = accept == null || accept(i, s)
     val es = score(entry)
     visited.set(entry)
     visitedCount += 1
@@ -383,6 +413,14 @@ object Nsw {
       (c, keys(i), vecs(i).toSeq, adj(i).map(keys(_)).toSeq, i == entry)
     }
 
+  /** NOTE on precision (public contract, shared by build/append/save):
+    * vectors are STORED float32 (the reference's storage type). For
+    * float32 source embeddings — the overwhelmingly common case — all
+    * scores are bit-identical to brute force over the originals. A corpus
+    * whose embeddings are genuinely double-precision is quantized to
+    * float32 on ingest: similarities can then differ from brute force
+    * over the doubles in near-tie orderings. Keep such corpora on the
+    * brute/IVF double paths, or accept the quantization explicitly. */
   def build(spark: SparkSession, emb: DataFrame, keyCol: String,
             vecCol: String, params: Params = Params()): Graph = {
     val centroids = Ann.kmeansCentroids(spark, emb, keyCol, vecCol,
@@ -441,9 +479,23 @@ object Nsw {
     * is a pure function of (existing graph, batch membership). The
     * entry medioid is refreshed per touched cluster. Centroids stay
     * FIXED (the router is the stable part, same as the BM25 side's
-    * shards; re-clustering is a rebuild). */
+    * shards; re-clustering is a rebuild).
+    *
+    * The parent graph's cache is RELEASED once the appended graph is
+    * materialized (same contract as [[attachPqWith]]) — chaining appends
+    * holds one cached generation, not one per call. Callers that still
+    * need the parent afterwards recompute it from lineage (deterministic:
+    * the adjacency is a pure function of membership + batch history). */
   def append(spark: SparkSession, graph: Graph, emb: DataFrame,
-             keyCol: String, vecCol: String): Graph = {
+             keyCol: String, vecCol: String): Graph =
+    appendTouched(spark, graph, emb, keyCol, vecCol)._1
+
+  /** [[append]] + the set of cluster ids the batch touched — computed from
+    * the routing pass append does anyway, so callers that need it for an
+    * incremental persist ([[saveTouched]], [[graft.streaming.StreamingNsw]])
+    * don't route the batch a second time. */
+  def appendTouched(spark: SparkSession, graph: Graph, emb: DataFrame,
+                    keyCol: String, vecCol: String): (Graph, Set[Int]) = {
     import spark.implicits._
     val cB = spark.sparkContext.broadcast(graph.centroids)
     val fresh = emb
@@ -458,14 +510,14 @@ object Nsw {
         (Ann.nearestCentroid(vd, cB.value), k, v)
       }.toDF("c", "key", "v").persist()
     val touched = fresh.select("c").distinct().as[Int].collect().toSet
-    if (touched.isEmpty) { fresh.unpersist(); return graph }
+    if (touched.isEmpty) { fresh.unpersist(); return (graph, touched) }
     val m = graph.params.m
     val efC = graph.params.efConstruction
     // appended/compacted graphs drop any fused PQ codes (new nodes have
     // none and the codebooks would be stale) — re-run attachPq if needed
-    val untouchedRows = graph.adj.filter(!col("c").isin(touched.toSeq: _*))
+    val untouchedRows = graph.adj.filter(!inIntSet(col("c"), touched))
       .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
-    val existing = graph.adj.filter(col("c").isin(touched.toSeq: _*))
+    val existing = graph.adj.filter(inIntSet(col("c"), touched))
       .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .map { case (c, k, v, nb, e) => (c, k, v, nb, e, false) }
@@ -526,7 +578,8 @@ object Nsw {
       clusterLocal = false, deleted = graph.deleted)
     out.adj.count() // materialize before dropping the inputs
     fresh.unpersist()
-    out
+    graph.adj.unpersist() // release the parent generation (no-op if unpersisted)
+    (out, touched)
   }
 
   /** Tombstone keys (reference markNodeDeleted,
@@ -547,14 +600,14 @@ object Nsw {
     val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
     val cB = spark.sparkContext.broadcast(graph.centroids)
     val affected = graph.adj
-      .filter(col("key").isin(graph.deleted.toSeq: _*))
+      .filter(inLongSet(col("key"), deadB.value))
       .select("c").distinct().as[Int].collect().toSet
     if (affected.isEmpty) return graph.copy(deleted = Array.emptyLongArray)
-    val untouchedRows = graph.adj.filter(!col("c").isin(affected.toSeq: _*))
+    val untouchedRows = graph.adj.filter(!inIntSet(col("c"), affected))
       .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
     val m = graph.params.m
     val efC = graph.params.efConstruction
-    val rebuilt = graph.adj.filter(col("c").isin(affected.toSeq: _*))
+    val rebuilt = graph.adj.filter(inIntSet(col("c"), affected))
       .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
       .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
       .mapPartitions { it =>
@@ -586,6 +639,7 @@ object Nsw {
     * @param metrics when non-null, receives the summed visitedCount. */
   def topK(graph: Graph, query: Seq[Float], k: Int, nProbe: Int,
            ef: Int, metrics: SearchMetrics = null): DataFrame = {
+    requireDenyCapped(graph.deleted)
     val spark = graph.adj.sparkSession
     import spark.implicits._
     val q = query.map(_.toDouble).toArray
@@ -622,8 +676,8 @@ object Nsw {
         byCluster.asScala.iterator.flatMap { case (_, rows) =>
           val ca = assemble(rows)
           val dead = deadB.value
-          val accept: Int => Boolean =
-            if (dead.isEmpty) null else i => !dead.contains(ca.keys(i))
+          val accept: (Int, Double) => Boolean =
+            if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
           val (hits, visited) = beamSearch(qB.value, ca.vecs, ca.adj,
             ca.vecs.length, ca.entry, efq, accept)
           if (visitedAcc != null) visitedAcc.add(visited.toLong)
@@ -634,6 +688,212 @@ object Nsw {
       .limit(k)
     if (metrics != null) {
       val rows = out.collect() // materialize so the accumulator is final
+      metrics.visited = visitedAcc.value
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+    } else out
+  }
+
+  /** Threshold (range) search kernel — all nodes with score >= tau,
+    * jvector's threshold query re-expressed (GraphSearcher.java:112-115
+    * search(..., threshold, ...) with ScoreTracker.java:44-97 deciding
+    * when further exploration stops paying):
+    *
+    *  - maxVisit >= n: the exact full scan (every node scored once, keep
+    *    >= tau) — the gate mode, mirroring ef >= n in [[beamSearchBy]].
+    *  - else: best-first FLOOD. Greedy ascent from the entry until the
+    *    tau-level set is reached (while no result is found, the best
+    *    frontier node expands regardless of score); once inside, every
+    *    popped node with score >= tau expands and every scored node
+    *    >= tau is a result. A popped node < tau with results in hand
+    *    terminates (max-heap: nothing better remains). Work is bounded by
+    *    the level set's size + its one-hop boundary + maxVisit; recall
+    *    depends on the level set being graph-connected — NswSpec pins it
+    *    against brute force on the planted corpus.
+    *
+    * `accept` filters RESULT admission only (tombstone traverse-through,
+    * same as the beam). Returns ((idx, score) sorted sim desc/idx asc,
+    * visitedCount). */
+  private[ops] def thresholdFlood(score: Int => Double, adj: Array[Array[Int]],
+                                  n: Int, entry: Int, tau: Double,
+                                  maxVisit: Int,
+                                  accept: (Int, Double) => Boolean = null)
+      : (Array[(Int, Double)], Int) = {
+    if (n <= 0) return (Array.empty, 0)
+    if (maxVisit >= n) {
+      val all = Array.tabulate(n)(i => (i, score(i)))
+      val kept = all.filter(p => p._2 >= tau &&
+        (accept == null || accept(p._1, p._2)))
+      java.util.Arrays.sort(kept, ResultOrder)
+      return (kept, n)
+    }
+    val candOrd = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else Integer.compare(b._2, a._2)
+      }
+    }
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](candOrd)
+    val res = new mutable.ArrayBuffer[(Int, Double)]()
+    val visited = new java.util.BitSet(n)
+    var visitedCount = 0
+    var found = 0
+    def admitRes(i: Int, s: Double): Unit =
+      if (s >= tau) {
+        found += 1
+        if (accept == null || accept(i, s)) res += ((i, s))
+      }
+    val es = score(entry)
+    visited.set(entry)
+    visitedCount += 1
+    cand.enqueue((es, entry))
+    admitRes(entry, es)
+    var stop = false
+    while (!stop && cand.nonEmpty && visitedCount < maxVisit) {
+      val (cs, ci) = cand.dequeue()
+      if (cs < tau && found > 0) stop = true // nothing >= tau remains
+      else {
+        val nbrs = adj(ci)
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (nb < n && !visited.get(nb)) {
+            visited.set(nb)
+            visitedCount += 1
+            val s = score(nb)
+            cand.enqueue((s, nb))
+            admitRes(nb, s)
+          }
+          j += 1
+        }
+      }
+    }
+    val out = res.toArray
+    java.util.Arrays.sort(out, ResultOrder)
+    (out, visitedCount)
+  }
+
+  /** All vectors with cosine >= tau — the graph-accelerated range query
+    * (the dedup-adjacent "give me everything this similar"; the BM25
+    * side's exact theta:=tau skipping is `Wand.threshold`, this is the
+    * vector twin). nProbe == kCenters && maxVisit >= cluster size == the
+    * exact scan (gate mode); production knobs flood only the tau-level
+    * set of the probed clusters. Returns (key, sim), sim desc / key asc.
+    * Tombstoned keys are traversed through, never returned. */
+  def threshold(graph: Graph, query: Seq[Float], tau: Double, nProbe: Int,
+                maxVisit: Int = Int.MaxValue,
+                metrics: SearchMetrics = null): DataFrame = {
+    requireDenyCapped(graph.deleted)
+    val spark = graph.adj.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val probes = graph.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val qB = spark.sparkContext.broadcast(q)
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
+    val tauq = tau
+    val mv = maxVisit
+    val visitedAcc: LongAccumulator =
+      if (metrics == null) null else spark.sparkContext.longAccumulator("nswThreshVisited")
+    val probed0 = graph.adj.filter(col("c").isin(probes: _*))
+    val probed = if (graph.clusterLocal) probed0
+                 else probed0.repartition(math.max(1, probes.size), col("c"))
+    val out = probed
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .mapPartitions { it =>
+        val byCluster = new java.util.HashMap[Int,
+          mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)]]()
+        it.foreach { case (c, k, v, nb, e) =>
+          byCluster.computeIfAbsent(c, _ => new mutable.ArrayBuffer)
+            .append((k, toFloatArray(v), nb.toArray, e))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (_, rows) =>
+          val ca = assemble(rows)
+          val dead = deadB.value
+          val accept: (Int, Double) => Boolean =
+            if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
+          val (hits, visited) = thresholdFlood(i => cosineQF(qB.value, ca.vecs(i)),
+            ca.adj, ca.vecs.length, ca.entry, tauq, mv, accept)
+          if (visitedAcc != null) visitedAcc.add(visited.toLong)
+          hits.iterator.map { case (i, s) => (ca.keys(i), s) }
+        }
+      }.toDF("key", "sim")
+      .orderBy(col("sim").desc, col("key").asc)
+    if (metrics != null) {
+      val rows = out.collect()
+      metrics.visited = visitedAcc.value
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+    } else out
+  }
+
+  /** Page 2 and beyond: top-k results strictly AFTER `cursor` = (sim,
+    * key) in the (sim desc, key asc) result order — the vector twin of
+    * the BM25 side's exact `searchAfter` (cursor semantics identical:
+    * reject at-or-before-cursor in result ADMISSION, traverse freely;
+    * reference GraphSearcher.resume:223-311 continues past previously
+    * returned results the same way). Exact at nProbe == kCenters &&
+    * ef >= cluster size: page1 ++ page2 == top-2k, metamorphically
+    * (NswSpec). In production, `ef` bounds how deep a page chain can
+    * reach (page n needs the beam to have kept n*k candidates). */
+  def searchAfter(graph: Graph, query: Seq[Float], k: Int,
+                  cursor: (Double, Long), nProbe: Int, ef: Int,
+                  metrics: SearchMetrics = null): DataFrame = {
+    requireDenyCapped(graph.deleted)
+    val spark = graph.adj.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val probes = graph.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val qB = spark.sparkContext.broadcast(q)
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
+    val (cSim, cKey) = cursor
+    val kk = k
+    val efq = ef
+    val visitedAcc: LongAccumulator =
+      if (metrics == null) null else spark.sparkContext.longAccumulator("nswAfterVisited")
+    val probed0 = graph.adj.filter(col("c").isin(probes: _*))
+    val probed = if (graph.clusterLocal) probed0
+                 else probed0.repartition(math.max(1, probes.size), col("c"))
+    val out = probed
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .mapPartitions { it =>
+        val byCluster = new java.util.HashMap[Int,
+          mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)]]()
+        it.foreach { case (c, k, v, nb, e) =>
+          byCluster.computeIfAbsent(c, _ => new mutable.ArrayBuffer)
+            .append((k, toFloatArray(v), nb.toArray, e))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (_, rows) =>
+          val ca = assemble(rows)
+          val dead = deadB.value
+          // admission = strictly after the cursor in (sim desc, key asc)
+          // order, AND not tombstoned; traversal unrestricted
+          val accept: (Int, Double) => Boolean = (i, s) =>
+            (s < cSim || (s == cSim && ca.keys(i) > cKey)) &&
+            (dead.isEmpty || !dead.contains(ca.keys(i)))
+          val (hits, visited) = beamSearch(qB.value, ca.vecs, ca.adj,
+            ca.vecs.length, ca.entry, efq, accept)
+          if (visitedAcc != null) visitedAcc.add(visited.toLong)
+          hits.take(kk).iterator.map { case (i, s) => (ca.keys(i), s) }
+        }
+      }.toDF("key", "sim")
+      .orderBy(col("sim").desc, col("key").asc)
+      .limit(k)
+    if (metrics != null) {
+      val rows = out.collect()
       metrics.visited = visitedAcc.value
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
         out.schema)
@@ -701,6 +961,7 @@ object Nsw {
                 ef: Int, metrics: SearchMetrics = null): DataFrame = {
     val model = graph.pq.getOrElse(
       throw new IllegalArgumentException("attachPq first: graph carries no codes"))
+    requireDenyCapped(graph.deleted)
     val spark = graph.adj.sparkSession
     import spark.implicits._
     val q = query.map(_.toDouble).toArray
@@ -768,8 +1029,8 @@ object Nsw {
             if (mag == 0) 0.0 else dot * invQNorm / math.sqrt(mag)
           }
           val dead = deadB.value
-          val accept: Int => Boolean =
-            if (dead.isEmpty) null else i => !dead.contains(ca.keys(i))
+          val accept: (Int, Double) => Boolean =
+            if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
           val (approx, visited) = beamSearchBy(approxCos, ca.adj,
             ca.vecs.length, ca.entry, efq, accept)
           if (visitedAcc != null) visitedAcc.add(visited.toLong)
@@ -811,11 +1072,34 @@ object Nsw {
     *   unclaimed. */
   def saveTouched(spark: SparkSession, graph: Graph, dir: String,
                   touched: Set[Int], maxStreamBatch: Long = -1L): Unit = {
-    if (touched.nonEmpty)
-      graph.adj.filter(col("c").isin(touched.toSeq: _*))
-        .write.mode("overwrite")
+    if (touched.nonEmpty) {
+      var rows = graph.adj.filter(inIntSet(col("c"), touched))
+      // schema stability across partial overwrites: if the dir already
+      // holds fused codes but THIS graph carries none (append/compact drop
+      // them), write an explicit null code column so the dir never mixes
+      // with-code and without-code parquet schemas (whose union would
+      // depend on which footer the reader samples); load() trusts
+      // meta.json's pq node, not the file schema, so null codes are inert
+      if (graph.pq.isEmpty && !rows.columns.contains("code")) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+          spark.sparkContext.hadoopConfiguration)
+        val adjPath = new org.apache.hadoop.fs.Path(s"$dir/adj")
+        val hasCode = fs.exists(adjPath) &&
+          spark.read.parquet(s"$dir/adj").columns.contains("code")
+        if (hasCode) rows = rows.withColumn("code", lit(null).cast("binary"))
+      }
+      // sever lineage from the destination before the dynamic-partition
+      // overwrite: an appended graph's plan READS $dir/adj (untouched rows
+      // pass through from the loaded parent), so if its cached blocks were
+      // evicted mid-write Spark would recompute touched partitions from
+      // the very files being overwritten — localCheckpoint materializes
+      // the rows first, making the write input self-contained
+      val staged = rows.localCheckpoint(true)
+      staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("c").parquet(s"$dir/adj")
+      staged.unpersist()
+    }
     publishMeta(spark, graph, dir, maxStreamBatch)
   }
 
@@ -890,17 +1174,21 @@ object Nsw {
       } else None
     val raw = spark.read.parquet(s"$dir/adj")
     // v1 back-compat: double vectors, no entry flag (entry = smallest-key
-    // node, i.e. local index 0 — the v1 search behavior); fused codes ride
-    // along when the graph was saved with attachPq
+    // node, i.e. local index 0 — the v1 search behavior). Fused codes are
+    // gated on META.JSON's pq node, not on parquet schema sampling: a
+    // partially-overwritten dir can legitimately hold files with a (null)
+    // code column after the model was dropped, and which footer the scan
+    // samples first must not decide whether the graph "has" codes.
     val baseCols = Seq(col("c").cast("int").as("c"), col("key"),
       transform(col("v"), x => x.cast("float")).as("v"), col("nbrs"),
       (if (raw.columns.contains("entry")) col("entry") else lit(false))
         .as("entry"))
-    val cols = if (raw.columns.contains("code")) baseCols :+ col("code") else baseCols
+    val withCodes = pqModel.isDefined && raw.columns.contains("code")
+    val cols = if (withCodes) baseCols :+ col("code") else baseCols
     val adj = raw.select(cols: _*)
     // clusterLocal = false: the scan's split planning knows nothing about
     // cluster boundaries — search must reassemble probed clusters
     Graph(adj, centroids, params, clusterLocal = false, deleted = deleted,
-      pq = if (raw.columns.contains("code")) pqModel else None)
+      pq = if (withCodes) pqModel else None)
   }
 }

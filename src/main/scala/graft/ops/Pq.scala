@@ -35,6 +35,9 @@ object Pq {
   /** Trained product quantizer: codebooks(sub)(code) = centroid of the
     * sub-th subspace (length dim/m). */
   final case class Model(m: Int, dim: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(m > 0 && dim % m == 0,
+      s"PQ dim $dim must divide into m=$m equal subspaces")
+
     def encodeOne(v: Array[Double]): Array[Byte] = {
       val code = new Array[Byte](m)
       val w = dim / m
@@ -193,6 +196,9 @@ object Pq {
     * of an isotropic error is T^2 and the orthogonal share spreads over
     * the remaining d-1 directions. */
   def parallelCostMultiplier(threshold: Double, dim: Int): Double = {
+    require(dim > 1,
+      s"anisotropic loss needs dim > 1 (got $dim): with a single dimension " +
+      "every error is parallel and the perpendicular share divides by zero")
     val parallelCost = threshold * threshold
     val perpendicularCost = (1 - parallelCost) / (dim - 1)
     math.max(1.0, parallelCost / perpendicularCost)
@@ -222,6 +228,154 @@ object Pq {
       kmeansLocal(subs, math.min(codes, subs.length), iters)
     }
     Model(m, dim, codebooks)
+  }
+
+  /** Anisotropic codebook TRAINING — the other half of SCANN (reference
+    * pq/KMeansPlusPlusClusterer.java:405-428: each centroid update solves
+    * a small linear system instead of taking the mean). [[train]] +
+    * anisotropic ENCODE only optimizes the assignment over plain-Lloyd
+    * codebooks; here the codebooks themselves minimize the anisotropic
+    * loss, alternating:
+    *
+    *  1. assign: every sample vector takes the anisotropic code
+    *     ([[Model.encodeOneAnisotropic]] — the same procedure production
+    *     encode uses, so train-time and encode-time objectives agree);
+    *  2. update: for subspace s, code j, minimizing
+    *     Σ_x |x_s − c|² + λ_x (P_x + ⟨x_s − c, x_s⟩)²   over c
+    *     (λ_x = (pcm−1)/|x|², P_x = the OTHER subspaces' parallel
+    *     residual) is the w×w normal system
+    *       (N·I + Σ λ_x x_s x_sᵀ) c = Σ (1 + λ_x (P_x + |x_s|²)) x_s
+    *     — solved directly by Gaussian elimination (w = dim/m is small).
+    *     Empty cells keep their previous centroid; all subspaces update
+    *     from the same assignment snapshot, so each outer round is
+    *     deterministic.
+    *
+    * Seeded from the plain-Lloyd codebooks of [[train]]; `outerIters`
+    * alternations. Code size and ADC scoring are unchanged — like the
+    * anisotropic assignment, this is a pure recall-per-byte knob, and
+    * OpsSpec pins that it beats assignment-only at equal code size. */
+  def trainAnisotropic(spark: SparkSession, emb: DataFrame, keyCol: String,
+                       vecCol: String, m: Int, threshold: Double,
+                       codes: Int = 256, iters: Int = 5,
+                       sampleCap: Long = 131072L,
+                       outerIters: Int = 4): Model = {
+    import spark.implicits._
+    val all = emb.select(col(keyCol).cast("long").as("key"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val n = all.count()
+    val frac = math.max(1L, (n + sampleCap - 1) / sampleCap)
+    val sample = (if (frac > 1L) all.filter(pmod(xxhash64(col("key")), lit(frac)) === 0)
+                  else all)
+      .as[(Long, Seq[Double])].orderBy($"key").collect()
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val w = dim / m
+    val vecs = sample.map(_._2.toArray)
+    val pcm = parallelCostMultiplier(threshold, dim)
+    // seed: the plain-Lloyd codebooks (identical to train())
+    var model = Model(m, dim, Array.tabulate(m) { s =>
+      val subs = vecs.map(v => java.util.Arrays.copyOfRange(v, s * w, (s + 1) * w))
+      kmeansLocal(subs, math.min(codes, subs.length), iters)
+    })
+    val kCodes = model.codebooks(0).length
+    var outer = 0
+    while (outer < outerIters) {
+      // 1. anisotropic assignment snapshot
+      val assign = vecs.map(v => model.encodeOneAnisotropic(v, pcm))
+      // 2. per (subspace, code) normal systems
+      val newBooks = Array.tabulate(m) { s =>
+        val aMat = Array.fill(kCodes)(Array.ofDim[Double](w, w))
+        val bVec = Array.fill(kCodes)(new Array[Double](w))
+        val cnt = new Array[Long](kCodes)
+        vecs.indices.foreach { xi =>
+          val v = vecs(xi)
+          val code = assign(xi)
+          var vNorm2 = 0.0
+          var i = 0
+          while (i < dim) { vNorm2 += v(i) * v(i); i += 1 }
+          val lam = if (vNorm2 > 0) (pcm - 1.0) / vNorm2 else 0.0
+          // P_x: parallel residual of the OTHER subspaces under `model`
+          var pTot = 0.0
+          var ss = 0
+          while (ss < m) {
+            val cb = model.codebooks(ss)(code(ss) & 0xFF)
+            var d = 0.0
+            i = 0
+            while (i < w) { d += (v(ss * w + i) - cb(i)) * v(ss * w + i); i += 1 }
+            if (ss == s) () else pTot += d
+            ss += 1
+          }
+          var xs2 = 0.0
+          i = 0
+          while (i < w) { val x = v(s * w + i); xs2 += x * x; i += 1 }
+          val j = code(s) & 0xFF
+          cnt(j) += 1
+          val coef = 1.0 + lam * (pTot + xs2)
+          val A = aMat(j)
+          val b = bVec(j)
+          i = 0
+          while (i < w) {
+            val xi1 = v(s * w + i)
+            b(i) += coef * xi1
+            var t = 0
+            while (t < w) { A(i)(t) += lam * xi1 * v(s * w + t); t += 1 }
+            i += 1
+          }
+        }
+        Array.tabulate(kCodes) { j =>
+          if (cnt(j) == 0) model.codebooks(s)(j)
+          else {
+            val A = aMat(j)
+            var i = 0
+            while (i < w) { A(i)(i) += cnt(j).toDouble; i += 1 }
+            solveLinear(A, bVec(j)).getOrElse(model.codebooks(s)(j))
+          }
+        }
+      }
+      model = Model(m, dim, newBooks)
+      outer += 1
+    }
+    model
+  }
+
+  /** In-place Gaussian elimination with partial pivoting; None when the
+    * system is (numerically) singular — callers keep the old centroid. */
+  private def solveLinear(a: Array[Array[Double]], b: Array[Double])
+      : Option[Array[Double]] = {
+    val n = b.length
+    val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (math.abs(a(piv)(col)) < 1e-12) return None
+      if (piv != col) {
+        val tr = a(piv); a(piv) = a(col); a(col) = tr
+        val tx = x(piv); x(piv) = x(col); x(col) = tx
+      }
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var t = col
+          while (t < n) { a(r)(t) -= f * a(col)(t); t += 1 }
+          x(r) -= f * x(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    var i = n - 1
+    while (i >= 0) {
+      var s = x(i)
+      var t = i + 1
+      while (t < n) { s -= a(i)(t) * x(t); t += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    Some(x)
   }
 
   /** Plain-Scala Lloyd on the (bounded) training sample. Deterministic:
@@ -386,11 +540,14 @@ object Pq {
       }.toDF("key", "adc2")
       .orderBy($"adc2".asc, $"key".asc).limit(kk)
     val qc = typedlit(q.toSeq)
-    val exactD = aggregate(
-      zip_with(transform(col(vecCol), x => x.cast("double")), qc, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // codegen fused-loop kernel (same left-to-right accumulation as the
+    // zip_with/aggregate HOF it replaces, so dist2 is bit-identical) — the
+    // interpreted HOF was the expression family behind the round-3
+    // dedup_embed 53x blowup; the survivor set here is bounded to
+    // k*rerankFactor rows but the hot kernel is still the right one
     approx.join(emb.select(col(keyCol).cast("long").as("key"), col(vecCol)), "key")
-      .withColumn("dist2", exactD)
+      .withColumn("dist2", graft.functions.VectorFunctions.l2Dist2(
+        transform(col(vecCol), x => x.cast("double")), qc))
       .select(col("key"), col("dist2"))
       .orderBy(col("dist2").asc, col("key").asc)
       .limit(k)

@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.ops.{Ann, Nsw}
+import graft.ops.Nsw
 
 /** Streaming vector ingestion — the vector twin of [[StreamingIndex]]
   * (reference B2: concurrent incremental `addGraphNode`,
@@ -43,21 +42,14 @@ object StreamingNsw {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > mark) {
           val s = batch.sparkSession
-          import s.implicits._
-          val cB = s.sparkContext.broadcast(graph.centroids)
-          val touched = batch
-            .select(col(vecCol))
-            .as[Seq[Float]]
-            .map { v =>
-              val arr = new Array[Double](v.length)
-              var i = 0
-              while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
-              Ann.nearestCentroid(arr, cB.value)
-            }.distinct().collect().toSet
-          val next = Nsw.append(s, graph, batch, keyCol, vecCol)
+          // ONE routing pass: append routes the batch to clusters anyway
+          // and returns the touched set (appendTouched) — the old second
+          // pass here also skipped append's float cast, so an
+          // array<double> stream failed analysis on its first batch
+          val (next, touched) = Nsw.appendTouched(s, graph, batch, keyCol, vecCol)
           Nsw.saveTouched(s, next, dir, touched, maxStreamBatch = batchId)
           if (next ne graph) {
-            graph.unpersist()
+            graph.unpersist() // no-op: appendTouched already released it
             // each append stacks a DAG on its parent; re-anchor the
             // resident lineage on the just-persisted parquet periodically
             // so a long-lived stream can't grow an unbounded plan

@@ -380,6 +380,191 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
     g.unpersist()
   }
 
+  test("threshold search: exact == brute sim>=tau; flood does bounded work; HotAnn parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(45)
+    val rows = clustered(rnd, 2000, 16, 6)
+    val emb = rows.toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 32, kCenters = 6, iters = 2))
+    val g = Nsw.delete(g0, Seq(42L, 43L)) // tombstones traverse, never return
+    // query near a cluster center so the tau-level set is non-trivial
+    val q = rows(17)._2
+    val tau = 0.8
+    def bruteThresh(dead: Set[Long]): Seq[(Long, Double)] =
+      Ann.bruteTopK(emb, "vec_id", "embedding", q, 2000, Ann.Cosine)
+        .as[(Long, Double)].collect().toSeq
+        .filter { case (k2, s) => s >= tau && !dead.contains(k2) }
+        .sortBy { case (k2, s) => (-s, k2) }
+    val want = bruteThresh(Set(42L, 43L))
+    assert(want.size >= 20, s"test needs a non-trivial level set, got ${want.size}")
+    // exact mode: nProbe = kCenters, maxVisit >= cluster size
+    val gotExact = Nsw.threshold(g, q, tau, nProbe = 6)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotExact == want, "exact-mode threshold != brute force")
+    // production flood: high recall at bounded work
+    val m = new Nsw.SearchMetrics
+    val gotFlood = Nsw.threshold(g, q, tau, nProbe = 3, maxVisit = 500, metrics = m)
+      .as[(Long, Double)].collect().toSeq
+    val recall = gotFlood.map(_._1).toSet.intersect(want.map(_._1).toSet).size.toDouble / want.size
+    info(f"threshold flood: recall ${recall}%.2f visiting ${m.visited} of 2000 nodes")
+    assert(recall >= 0.85, f"flood recall $recall%.2f")
+    assert(m.visited < 2000, "flood degenerated to a full scan")
+    assert(gotFlood.forall(_._2 >= tau) && gotFlood.map(_._1).intersect(Seq(42L, 43L)).isEmpty)
+    // HotAnn serving twin: identical at the same knobs
+    val hot = HotAnn(g)
+    assert(hot.threshold(q, tau, nProbe = 6).toSeq == gotExact)
+    assert(hot.threshold(q, tau, nProbe = 3, maxVisit = 500).toSeq == gotFlood)
+    hot.close()
+    g0.unpersist()
+  }
+
+  test("searchAfter pagination: page1 ++ page2 == top-2k; HotAnn twin; cursor chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(46)
+    val emb = clustered(rnd, 1200, 16, 4).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 32, kCenters = 4, iters = 2))
+    val hot = HotAnn(g)
+    for (seed <- 1 to 3) {
+      val q = randVec(new scala.util.Random(seed), 16)
+      // exact mode: pages partition the brute-force ranking exactly
+      val top20 = Nsw.topK(g, q, 20, nProbe = 4, ef = Int.MaxValue)
+        .as[(Long, Double)].collect().toSeq
+      val page1 = Nsw.topK(g, q, 10, nProbe = 4, ef = Int.MaxValue)
+        .as[(Long, Double)].collect().toSeq
+      val cursor = (page1.last._2, page1.last._1)
+      val page2 = Nsw.searchAfter(g, q, 10, cursor, nProbe = 4, ef = Int.MaxValue)
+        .as[(Long, Double)].collect().toSeq
+      assert(page1 ++ page2 == top20, s"page1+page2 != top-2k (seed $seed)")
+      // serving twin identical
+      assert(hot.searchAfter(q, 10, cursor, nProbe = 4, ef = Int.MaxValue).toSeq == page2)
+      // chaining: page3 via page2's cursor continues the ranking
+      val page3 = Nsw.searchAfter(g, q, 10, (page2.last._2, page2.last._1),
+        nProbe = 4, ef = Int.MaxValue).as[(Long, Double)].collect().toSeq
+      val top30 = Nsw.topK(g, q, 30, nProbe = 4, ef = Int.MaxValue)
+        .as[(Long, Double)].collect().toSeq
+      assert(page1 ++ page2 ++ page3 == top30)
+    }
+    // production knobs: page 2 at finite ef must not repeat page-1 keys and
+    // must rank below the cursor
+    val q = randVec(new scala.util.Random(9), 16)
+    val p1 = Nsw.topK(g, q, 10, nProbe = 2, ef = 64)
+      .as[(Long, Double)].collect().toSeq
+    val p2 = Nsw.searchAfter(g, q, 10, (p1.last._2, p1.last._1), nProbe = 2, ef = 64)
+      .as[(Long, Double)].collect().toSeq
+    assert(p2.map(_._1).toSet.intersect(p1.map(_._1).toSet).isEmpty)
+    assert(p2.forall { case (k2, s) =>
+      s < p1.last._2 || (s == p1.last._2 && k2 > p1.last._1) })
+    hot.close()
+    g.unpersist()
+  }
+
+  test("bulk tombstones: 10^5-key delete+compact completes without literal-list plans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = clustered(rnd, 600, 16, 4)
+    val emb = rows.toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 24, kCenters = 4, iters = 2))
+    // 100k tombstones (a bulk-delete batch): a literal isin over this set
+    // would serialize 10^5 literals into every plan — the de-literaled
+    // predicates must keep plan size O(1) and finish promptly
+    val dead = (1000000L until 1100000L) ++ Seq(3L, 4L, 5L)
+    val gDel = Nsw.delete(g, dead)
+    val searched = Nsw.topK(gDel, randVec(new scala.util.Random(1), 16),
+      10, nProbe = 4, ef = Int.MaxValue)
+    val plan = searched.queryExecution.analyzed.toString
+    assert(plan.length < 100000, s"plan blew up to ${plan.length} chars")
+    val live = rows.filterNot(r => Seq(3L, 4L, 5L).contains(r._1))
+      .toDF("vec_id", "embedding")
+    assert(searched.select($"key").as[Long].collect().toSeq ==
+      bruteTop(live, randVec(new scala.util.Random(1), 16), 10))
+    val gc = Nsw.compact(spark, gDel)
+    assert(gc.deleted.isEmpty && gc.adj.count() == 597)
+    assert(Nsw.topK(gc, randVec(new scala.util.Random(2), 16), 10,
+      nProbe = 4, ef = Int.MaxValue).select($"key").as[Long].collect().toSeq ==
+      bruteTop(live, randVec(new scala.util.Random(2), 16), 10))
+    gc.unpersist()
+    g.unpersist()
+  }
+
+  test("deny-set closure cap: oversized tombstone sets fail loudly toward compact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val emb = (0L until 50L).map(i => (i, randVec(rnd, 8))).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 4, efConstruction = 16, kCenters = 2, iters = 1))
+    val over = Nsw.delete(g, (0L until (Nsw.FilterSetCap + 1L)).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Nsw.topK(over, randVec(rnd, 8), 5, nProbe = 2, ef = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("compact"),
+      "cap violation must point the caller at Nsw.compact")
+    g.unpersist()
+  }
+
+  test("appendTouched: one routing pass feeds saveTouched; double input appends once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val emb = clustered(rnd, 400, 8, 4).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 4, efConstruction = 16, kCenters = 4, iters = 2))
+    // array<double> input batch: append must cast, not throw (the
+    // StreamingNsw routing bug class)
+    val extra = (9000L until 9020L)
+      .map(i => (i, Seq.fill(8)(new scala.util.Random(i).nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val (g1, touched) = Nsw.appendTouched(spark, g, extra, "vec_id", "embedding")
+    assert(touched.nonEmpty && touched.subsetOf((0 until 4).toSet))
+    // the touched set is exactly the clusters whose membership changed
+    val changed = g1.adj.filter($"key" >= 9000L).select($"c").as[Int]
+      .collect().toSet
+    assert(touched == changed)
+    g1.unpersist()
+  }
+
+  test("annserve loop: WRITE is searchable, DELETE filters, OPTIMIZE compacts — durable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val emb = clustered(rnd, 600, 8, 4).toDF("vec_id", "embedding")
+    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 24, kCenters = 4, iters = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-annserve").toString
+    Nsw.save(spark, g, dir)
+    g.unpersist()
+    // a brand-new vector, far from nothing in particular — query IT
+    val v = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val vs = v.mkString(",")
+    val script = Iterator(
+      s":p 4 2000000000 $vs", // SEARCH before write: 9999 absent
+      s":w 9999 $vs",         // WRITE
+      s":p 4 2000000000 $vs", // sees its own write at sim 1.0
+      ":del 9999",            // DELETE tombstones it
+      s":p 4 2000000000 $vs", // filtered again
+      ":opt",                 // OPTIMIZE purges the tombstone
+      s":p 4 2000000000 $vs") // still filtered after compact
+    val outs = scala.collection.mutable.ArrayBuffer[String]()
+    graft.IndexCli.annServeLoop(spark, dir, 5, script, outs += _)
+    val searches = outs.filter(o => o.contains(":") && !o.contains("WROTE")
+      && !o.contains("DELETED") && !o.contains("OPTIMIZED") && !o.contains("ready"))
+    assert(!searches(0).contains("9999:"), "9999 must not exist pre-write")
+    assert(searches(1).contains("9999:1.0000"), s"write not visible: ${searches(1)}")
+    assert(!searches(2).contains("9999:"), "tombstone not honored")
+    assert(!searches(3).contains("9999:"), "compact resurrected a tombstone")
+    assert(outs.exists(_.contains("OPTIMIZED")))
+    // durability: a FRESH load of the dir reflects the full history
+    val reloaded = Nsw.load(spark, dir)
+    assert(reloaded.deleted.isEmpty, "optimize must clear tombstones durably")
+    assert(reloaded.adj.filter($"key" === 9999L).count() == 0,
+      "compacted node must be gone from the stored graph")
+    assert(reloaded.adj.count() == 600)
+    // the untouched corpus still serves identically after the lifecycle
+    val q2 = randVec(new scala.util.Random(3), 8)
+    assert(Nsw.topK(reloaded, q2, 10, nProbe = 4, ef = Int.MaxValue)
+      .select($"key").as[Long].collect().toSeq == bruteTop(emb, q2, 10))
+  }
+
   test("fragmented loaded graph reassembles clusters before beam search") {
     import spark.implicits._
     // A load()ed graph's clusters arrive split across scan partitions at

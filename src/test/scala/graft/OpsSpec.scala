@@ -101,6 +101,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == brute, "full-rerank PQ must equal brute force")
   }
 
+  test("plan guard: no shipped vector operator plans an interpreted HOF kernel") {
+    import spark.implicits._
+    // aggregate()/zip_with() over vector columns eval interpreted per
+    // element (~µs/row vs ~ns for the codegen kernels) — the expression
+    // family behind the round-3 dedup_embed 53x blowup and the round-4
+    // Pq.topK rerank finding. Guard every shipped vector operator's plan.
+    val rnd = new scala.util.Random(77)
+    val emb = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val pqModel = Pq.train(spark, emb, "vec_id", "embedding", m = 4, iters = 2)
+    val pqCodes = Pq.encode(spark, emb, "vec_id", "embedding", pqModel)
+    val bqModel = Bq.train(spark, emb, "vec_id", "embedding")
+    val bqCodes = Bq.encode(spark, emb, "vec_id", "embedding", bqModel)
+    val plans = Seq(
+      "ann_brute" -> Ann.bruteTopK(emb, "vec_id", "embedding", q, 5, Ann.Cosine),
+      "pq_topk" -> Pq.topK(spark, pqCodes, emb, "vec_id", "embedding", pqModel, q, 5),
+      "pq_topk_dot" -> Pq.topKDot(spark, pqCodes, emb, "vec_id", "embedding", pqModel, q, 5),
+      "bq_topk" -> Bq.topK(spark, bqCodes, emb, "vec_id", "embedding", bqModel, q, 5),
+      "dedup_embed" -> Dedup.embedCosinePairs(emb, "vec_id", "embedding", 0.9))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.analyzed.toString
+      assert(!p.contains("zip_with"),
+        s"$name plans an interpreted zip_with over vectors:\n${p.take(800)}")
+      // the HOF prints lowercase "aggregate(" (logical Aggregate nodes and
+      // HashAggregate print with a capital A — not matched)
+      assert("(^|[^A-Za-z])aggregate\\(".r.findFirstIn(p).isEmpty,
+        s"$name plans an interpreted aggregate() over vectors:\n${p.take(800)}")
+    }
+    plans.collectFirst { case ("dedup_embed", df) => df.unpersist() }
+  }
+
   test("BQ: 1 bit/dim hamming prefilter + exact rerank; exact at full rerank; round-trips") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
@@ -136,6 +168,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bq.topK(spark, lc, emb, "vec_id", "embedding", lm, q, 10, rerankFactor = 80)
       .as[(Long, Double)].collect().toSeq == exact)
     codes.unpersist()
+  }
+
+  test("LVQ: 4x per-vector uint8 codes — near-lossless recall, dominates BQ, round-trips") {
+    import spark.implicits._
+    // hard corpus (the aniso test's shape): overlapping unit-normalized
+    // Gaussian clusters + outliers — the regime where corpus-level
+    // quantization (BQ's single centroid split) loses and per-vector
+    // adaptive ranges keep rank order
+    val rnd = new scala.util.Random(51)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val emb = (0L until 2000L).map { i =>
+      val v =
+        if (i % 5 == 4) Array.fill(dim)(rnd.nextGaussian())
+        else {
+          val c = centers(rnd.nextInt(centers.length))
+          c.map(_ + 0.45 * rnd.nextGaussian())
+        }
+      (i, unit(v))
+    }.toDF("vec_id", "embedding").persist()
+    val model = Lvq.train(spark, emb, "vec_id", "embedding")
+    val codes = Lvq.encode(spark, emb, "vec_id", "embedding", model).persist()
+    // 32 dims -> 32 bytes + (bias, scale): ~4x over float32
+    assert(codes.select($"u").as[Array[Byte]].head().length == dim)
+    // decode is within half a quantization step per element (near-lossless)
+    codes.join(emb, codes("key") === emb("vec_id"))
+      .select($"u", $"bias", $"scale", $"embedding")
+      .as[(Array[Byte], Float, Float, Seq[Float])].take(50).foreach {
+        case (u, bias, scale, v) =>
+          val dec = model.decodeOne(u, bias, scale)
+          val maxErr = v.indices.map(i => math.abs(dec(i) - v(i))).max
+          assert(maxErr <= scale / 2 + 1e-6, s"decode error $maxErr > ${scale / 2}")
+      }
+    val queries = (701 to 715).map { s =>
+      val r = new scala.util.Random(s)
+      val c = centers(r.nextInt(centers.length))
+      unit(c.map(_ + 0.45 * r.nextGaussian()))
+    }
+    def recallOf(topk: Seq[Float] => Set[Long]): Double = {
+      val hits = queries.map { q =>
+        val truth = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Cosine)
+          .select($"key").as[Long].collect().toSet
+        (truth & topk(q)).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    // code-only ranking (rerankFactor=1): membership decided by the codes
+    val rLvq = recallOf(q => Lvq.topK(spark, codes, emb, "vec_id", "embedding",
+      model, q, 10, rerankFactor = 1).select($"key").as[Long].collect().toSet)
+    val bqModel = Bq.train(spark, emb, "vec_id", "embedding")
+    val bqCodes = Bq.encode(spark, emb, "vec_id", "embedding", bqModel).persist()
+    val rBq = recallOf(q => Bq.topK(spark, bqCodes, emb, "vec_id", "embedding",
+      bqModel, q, 10, rerankFactor = 1).select($"key").as[Long].collect().toSet)
+    info(f"code-only recall@10: LVQ(uint8/dim) $rLvq%.3f vs BQ(1bit/dim) $rBq%.3f")
+    assert(rLvq >= 0.9, f"LVQ near-lossless claim: code-only recall $rLvq%.3f < 0.9")
+    assert(rLvq > rBq, "the middle tier must dominate BQ's recall")
+    // exact mode: rerank covers the corpus -> identical to brute force
+    val q0 = queries.head
+    val brute = Ann.bruteTopK(emb, "vec_id", "embedding", q0, 10, Ann.Cosine)
+      .select($"key").as[Long].collect().toSeq
+    assert(Lvq.topK(spark, codes, emb, "vec_id", "embedding", model, q0, 10,
+      rerankFactor = 200).select($"key").as[Long].collect().toSeq == brute)
+    // MIPS twin, exact mode
+    val bruteDot = Ann.bruteTopK(emb, "vec_id", "embedding", q0, 10, Ann.Dot)
+      .select($"key").as[Long].collect().toSeq
+    assert(Lvq.topKDot(spark, codes, emb, "vec_id", "embedding", model, q0, 10,
+      rerankFactor = 200).select($"key").as[Long].collect().toSeq == bruteDot)
+    // save -> load round-trip serves identically (lvq.json commit marker)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lvq-rt").toString
+    Lvq.save(spark, model, codes, dir)
+    val (lm, lc) = Lvq.load(spark, dir)
+    assert(lm.center.toSeq == model.center.toSeq)
+    assert(Lvq.topK(spark, lc, emb, "vec_id", "embedding", lm, q0, 10, rerankFactor = 4)
+      .as[(Long, Double)].collect().toSeq ==
+      Lvq.topK(spark, codes, emb, "vec_id", "embedding", model, q0, 10, rerankFactor = 4)
+        .as[(Long, Double)].collect().toSeq)
+    Seq(emb, codes, bqCodes).foreach(_.unpersist())
   }
 
   test("anisotropic PQ beats plain PQ recall at equal code size on the hard corpus") {
@@ -196,7 +309,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       anisotropicThreshold = 0.35)
     assert(again.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap
       == aniso.as[(Long, Array[Byte])].collect().toMap.view.mapValues(_.toSeq).toMap)
-    Seq(emb, plain, aniso).foreach(_.unpersist())
+    // CODEBOOK training (the full SCANN loop: anisotropic assignment AND
+    // the per-centroid w x w solve) must beat assignment-only-over-plain-
+    // Lloyd codebooks — the round-4 ceiling — at the same code size
+    val modelT = Pq.trainAnisotropic(spark, emb, "vec_id", "embedding",
+      m = 8, threshold = 0.35, iters = 5)
+    val anisoT = Pq.encode(spark, emb, "vec_id", "embedding", modelT,
+      anisotropicThreshold = 0.35).persist()
+    assert(anisoT.select($"code").as[Array[Byte]].head().length == 8)
+    def recallWith(m2: Pq.Model, codes: org.apache.spark.sql.DataFrame): Double = {
+      val hits = queries.map { q =>
+        val truth = Ann.bruteTopK(emb, "vec_id", "embedding", q, 10, Ann.Dot)
+          .select($"key").as[Long].collect().toSet
+        val got = Pq.topKDot(spark, codes, emb, "vec_id", "embedding", m2,
+          q, 10, rerankFactor = 1).select($"key").as[Long].collect().toSet
+        (truth & got).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    val rTrained = recallWith(modelT, anisoT)
+    info(f"dot-ADC recall@10 at 8 bytes: aniso assignment-only $rAniso%.3f, " +
+      f"aniso-TRAINED codebooks $rTrained%.3f")
+    assert(rTrained > rAniso,
+      f"anisotropic codebooks ($rTrained%.3f) must beat assignment-only ($rAniso%.3f)")
+    Seq(emb, plain, aniso, anisoT).foreach(_.unpersist())
   }
 
   test("PQ persistence: save -> load round-trips the model bit-exactly; format gated") {
