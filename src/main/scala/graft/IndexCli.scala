@@ -222,6 +222,10 @@ object IndexCli {
     * Protocol (one command per line; reference IPCService.java:84-97):
     *   v1,v2,...                    SEARCH (default knobs)
     *   :p <nProbe> <ef> v1,v2,...   SEARCH with explicit knobs
+    *   :t <tau> v1,v2,...           THRESHOLD — all keys with sim >= tau
+    *                                (HotAnn.threshold, default probes)
+    *   :a <sim> <key> v1,v2,...     NEXT PAGE — top-k strictly after the
+    *                                (sim, key) cursor (HotAnn.searchAfter)
     *   :w <key> v1,v2,...           WRITE — append one vector (durable:
     *                                touched cluster partitions + meta)
     *   :del <key>[,<key>...]        DELETE — tombstone keys (meta only)
@@ -246,7 +250,8 @@ object IndexCli {
     val fusedModel: Option[Pq.Model] = g.pq
     var hot = HotAnn(g)
     out(s"ready: ${g.centroids.length} clusters, k=$kAnn " +
-      "(SEARCH 'v1,v2,...' | ':p <nProbe> <ef> v...' | WRITE ':w <key> v...' " +
+      "(SEARCH 'v1,v2,...' | ':p <nProbe> <ef> v...' | ':t <tau> v...' " +
+      "threshold | ':a <sim> <key> v...' next page | WRITE ':w <key> v...' " +
       "| DELETE ':del k,k' | OPTIMIZE ':opt'; empty line or EOF quits)")
     def parseVec(s: String): Seq[Float] =
       s.split(",").filter(_.nonEmpty).map(_.toFloat).toSeq
@@ -268,6 +273,17 @@ object IndexCli {
             hot.close()
             hot = HotAnn(g) // membership changed: re-pin touched arrays
             out(f"[$ms%.1f ms] WROTE $key (clusters ${touched.mkString(",")})")
+          case ":t" :: tau :: rest =>
+            val hits = hot.threshold(parseVec(rest.mkString), tau.toDouble,
+              nProbe = math.min(4, g.centroids.length))
+            out(f"[$ms%.1f ms] " + hits.map { case (key, s) =>
+              f"$key:$s%.4f" }.mkString(" "))
+          case ":a" :: sim :: key :: rest =>
+            val hits = hot.searchAfter(parseVec(rest.mkString), kAnn,
+              (sim.toDouble, key.toLong),
+              nProbe = math.min(4, g.centroids.length), ef = 48)
+            out(f"[$ms%.1f ms] " + hits.map { case (k2, s) =>
+              f"$k2:$s%.4f" }.mkString(" "))
           case ":del" :: ids :: Nil =>
             g = Nsw.delete(g, ids.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
             Nsw.saveTouched(spark, g, dir, Set.empty) // meta-only publish

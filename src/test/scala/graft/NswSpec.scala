@@ -540,19 +540,26 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       s":p 4 2000000000 $vs", // SEARCH before write: 9999 absent
       s":w 9999 $vs",         // WRITE
       s":p 4 2000000000 $vs", // sees its own write at sim 1.0
+      s":t 0.99 $vs",         // THRESHOLD: only the written near-identical vector
+      s":a 0.5 0 $vs",        // NEXT PAGE after cursor (0.5, 0): 9999 excluded
       ":del 9999",            // DELETE tombstones it
       s":p 4 2000000000 $vs", // filtered again
       ":opt",                 // OPTIMIZE purges the tombstone
       s":p 4 2000000000 $vs") // still filtered after compact
     val outs = scala.collection.mutable.ArrayBuffer[String]()
     graft.IndexCli.annServeLoop(spark, dir, 5, script, outs += _)
-    val searches = outs.filter(o => o.contains(":") && !o.contains("WROTE")
-      && !o.contains("DELETED") && !o.contains("OPTIMIZED") && !o.contains("ready"))
-    assert(!searches(0).contains("9999:"), "9999 must not exist pre-write")
-    assert(searches(1).contains("9999:1.0000"), s"write not visible: ${searches(1)}")
-    assert(!searches(2).contains("9999:"), "tombstone not honored")
-    assert(!searches(3).contains("9999:"), "compact resurrected a tombstone")
-    assert(outs.exists(_.contains("OPTIMIZED")))
+    // outs: 0 ready, then one line per script command
+    assert(outs(0).contains("ready") && outs.size == 10)
+    assert(!outs(1).contains("9999:"), "9999 must not exist pre-write")
+    assert(outs(2).contains("WROTE 9999"))
+    assert(outs(3).contains("9999:1.0000"), s"write not visible: ${outs(3)}")
+    assert(outs(4).contains("9999:1.0000") && !outs(4).split("] ")(1).trim.contains(" "),
+      s"threshold 0.99 must return exactly the written vector: ${outs(4)}")
+    assert(!outs(5).contains("9999:"), s"page after (0.5, 0) must exclude 9999: ${outs(5)}")
+    assert(outs(6).contains("DELETED"))
+    assert(!outs(7).contains("9999:"), "tombstone not honored")
+    assert(outs(8).contains("OPTIMIZED"))
+    assert(!outs(9).contains("9999:"), "compact resurrected a tombstone")
     // durability: a FRESH load of the dir reflects the full history
     val reloaded = Nsw.load(spark, dir)
     assert(reloaded.deleted.isEmpty, "optimize must clear tombstones durably")
