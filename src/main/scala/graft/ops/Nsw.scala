@@ -137,11 +137,18 @@ object Nsw {
     *   code per node and [[topKFused]] can traverse on ADC lookups
     *   instead of full vectors — the reference's fused-codes layout
     *   (graph/disk/FusedADC.java:87-106 stores neighbor codes inline
-    *   with the adjacency for exactly this traversal). */
+    *   with the adjacency for exactly this traversal).
+    * @param lvq when set ([[attachLvq]]), adj rows carry per-node LVQ
+    *   codes (lu/lbias/lscale) and [[topKFusedLvq]] traverses on the
+    *   near-lossless 4x representation — the reference's LVQ-in-graph
+    *   layout (graph/disk/LVQ.java wraps the adjacency the same way).
+    *   At most one of pq/lvq is attached at a time (each attach re-maps
+    *   the rows and drops the other's columns). */
   final case class Graph(adj: DataFrame, centroids: Array[Array[Double]],
                          params: Params, clusterLocal: Boolean = true,
                          deleted: Array[Long] = Array.emptyLongArray,
-                         pq: Option[Pq.Model] = None) {
+                         pq: Option[Pq.Model] = None,
+                         lvq: Option[Lvq.Model] = None) {
     def unpersist(): Unit = adj.unpersist()
   }
 
@@ -1050,6 +1057,120 @@ object Nsw {
     } else out
   }
 
+  /** Attach LVQ codes to the graph: train the (tiny — one mean vector)
+    * model on the graph's own vectors and store each node's per-vector
+    * uint8 code + (bias, scale) INLINE with its adjacency row — the
+    * reference's LVQ-in-graph layout (graph/disk/LVQ.java wraps the
+    * on-disk adjacency with exactly this per-node quantized view;
+    * pq/LocallyAdaptiveVectorQuantization.java:72-150). Where PQ-fused
+    * traversal trades ~4% recall for 16-32x beam-memory compression,
+    * LVQ-fused keeps the beam near-lossless at ~4x — the default tier
+    * when the cluster graphs fit at 1 byte/dim. */
+  def attachLvq(spark: SparkSession, graph: Graph): Graph =
+    attachLvqWith(spark, graph,
+      Lvq.train(spark, graph.adj.select(col("key"), col("v")), "key", "v"))
+
+  /** Re-encode against an EXISTING LVQ model (no retrain) — the
+    * [[attachPqWith]] twin: unchanged nodes get byte-identical codes
+    * back (encode is a pure function of (model, vector)). */
+  def attachLvqWith(spark: SparkSession, graph: Graph, model: Lvq.Model): Graph = {
+    import spark.implicits._
+    val mB = spark.sparkContext.broadcast(model)
+    val adj2 = graph.adj
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean)]
+      .map { case (c, k, v, nb, e) =>
+        val arr = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { arr(i) = v(i).toDouble; i += 1 }
+        val (u, bias, scale) = mB.value.encodeOne(arr)
+        (c, k, v, nb, e, u, bias, scale)
+      }.toDF("c", "key", "v", "nbrs", "entry", "lu", "lbias", "lscale")
+    val out = Graph(adj2.persist(), graph.centroids, graph.params,
+      graph.clusterLocal, graph.deleted, pq = None, lvq = Some(model))
+    out.adj.count()
+    graph.adj.unpersist()
+    out
+  }
+
+  /** LVQ-fused search: the beam scores nodes by the fused-decomposition
+    * cosine over their 1-byte/dim codes (near-lossless — OpsSpec measures
+    * code-only recall 0.987 on the hard corpus), then the surviving <= ef
+    * candidates are rescored EXACTLY on their full vectors before the
+    * top-k cut — same navigate-approximate/score-exact contract as
+    * [[topKFused]], at the middle compression tier. */
+  def topKFusedLvq(graph: Graph, query: Seq[Float], k: Int, nProbe: Int,
+                   ef: Int, metrics: SearchMetrics = null): DataFrame = {
+    val model = graph.lvq.getOrElse(
+      throw new IllegalArgumentException("attachLvq first: graph carries no LVQ codes"))
+    requireDenyCapped(graph.deleted)
+    val spark = graph.adj.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble).toArray
+    val probes = graph.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val (qMu, qSum, qn2) = model.queryParts(q)
+    val invQNorm = if (qn2 == 0) 0.0 else 1.0 / math.sqrt(qn2)
+    val qB = spark.sparkContext.broadcast(q)
+    val mB = spark.sparkContext.broadcast(model)
+    val deadB = spark.sparkContext.broadcast(graph.deleted.toSet)
+    val kk = k
+    val efq = ef
+    val visitedAcc: LongAccumulator =
+      if (metrics == null) null else spark.sparkContext.longAccumulator("nswLvqVisited")
+    val probed0 = graph.adj.filter(col("c").isin(probes: _*))
+    val probed = if (graph.clusterLocal) probed0
+                 else probed0.repartition(math.max(1, probes.size), col("c"))
+    val out = probed
+      .select(col("c"), col("key"), col("v"), col("nbrs"), col("entry"),
+        col("lu"), col("lbias"), col("lscale"))
+      .as[(Int, Long, Seq[Float], Seq[Long], Boolean, Array[Byte], Float, Float)]
+      .mapPartitions { it =>
+        val byCluster = new java.util.HashMap[Int,
+          (mutable.ArrayBuffer[(Long, Array[Float], Array[Long], Boolean)],
+           mutable.ArrayBuffer[(Array[Byte], Float, Float)])]()
+        it.foreach { case (c, k, v, nb, e, u, bias, scale) =>
+          val slot = byCluster.computeIfAbsent(c,
+            _ => (new mutable.ArrayBuffer, new mutable.ArrayBuffer))
+          slot._1.append((k, toFloatArray(v), nb.toArray, e))
+          slot._2.append((u, bias, scale))
+        }
+        import scala.jdk.CollectionConverters._
+        byCluster.asScala.iterator.flatMap { case (_, (rows, codesUnsorted)) =>
+          // assemble() sorts by key: apply the same permutation to codes
+          val order = rows.indices.sortBy(rows(_)._1)
+          val codes = order.map(codesUnsorted(_)).toArray
+          val ca = assemble(rows)
+          val m = mB.value
+          def approxCos(i: Int): Double = {
+            val (u, bias, scale) = codes(i)
+            m.approxCos(qB.value, qMu, qSum, invQNorm, u, bias, scale)
+          }
+          val dead = deadB.value
+          val accept: (Int, Double) => Boolean =
+            if (dead.isEmpty) null else (i, _) => !dead.contains(ca.keys(i))
+          val (approx, visited) = beamSearchBy(approxCos, ca.adj,
+            ca.vecs.length, ca.entry, efq, accept)
+          if (visitedAcc != null) visitedAcc.add(visited.toLong)
+          val exact = approx.map { case (i, _) => (i, cosineQF(qB.value, ca.vecs(i))) }
+          java.util.Arrays.sort(exact, ResultOrder)
+          exact.take(kk).iterator.map { case (i, s) => (ca.keys(i), s) }
+        }
+      }.toDF("key", "sim")
+      .orderBy(col("sim").desc, col("key").asc)
+      .limit(k)
+    if (metrics != null) {
+      val rows = out.collect()
+      metrics.visited = visitedAcc.value
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema)
+    } else out
+  }
+
   /** Persist: centroid/param/tombstone meta as format-versioned JSON,
     * adjacency parquet PARTITIONED BY cluster — a loaded graph's probe
     * filter prunes whole partition directories at the file level (same
@@ -1075,18 +1196,24 @@ object Nsw {
     if (touched.nonEmpty) {
       var rows = graph.adj.filter(inIntSet(col("c"), touched))
       // schema stability across partial overwrites: if the dir already
-      // holds fused codes but THIS graph carries none (append/compact drop
-      // them), write an explicit null code column so the dir never mixes
-      // with-code and without-code parquet schemas (whose union would
-      // depend on which footer the reader samples); load() trusts
-      // meta.json's pq node, not the file schema, so null codes are inert
-      if (graph.pq.isEmpty && !rows.columns.contains("code")) {
+      // holds fused code columns (PQ `code` or LVQ `lu`/`lbias`/`lscale`)
+      // but THIS graph carries none (append/compact drop them), write
+      // explicit null columns so the dir never mixes schemas (whose union
+      // would depend on which footer the reader samples); load() trusts
+      // meta.json's pq/lvq nodes, not the file schema, so nulls are inert
+      val fusedCols = Seq("code" -> "binary", "lu" -> "binary",
+        "lbias" -> "float", "lscale" -> "float")
+      if (fusedCols.exists { case (c2, _) => !rows.columns.contains(c2) }) {
         val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
           spark.sparkContext.hadoopConfiguration)
         val adjPath = new org.apache.hadoop.fs.Path(s"$dir/adj")
-        val hasCode = fs.exists(adjPath) &&
-          spark.read.parquet(s"$dir/adj").columns.contains("code")
-        if (hasCode) rows = rows.withColumn("code", lit(null).cast("binary"))
+        if (fs.exists(adjPath)) {
+          val existing = spark.read.parquet(s"$dir/adj").columns.toSet
+          fusedCols.foreach { case (c2, tpe) =>
+            if (existing.contains(c2) && !rows.columns.contains(c2))
+              rows = rows.withColumn(c2, lit(null).cast(tpe))
+          }
+        }
       }
       // sever lineage from the destination before the dynamic-partition
       // overwrite: an appended graph's plan READS $dir/adj (untouched rows
@@ -1132,6 +1259,11 @@ object Nsw {
       pq.put("dim", model.dim)
       val _ = pq.set[com.fasterxml.jackson.databind.JsonNode]("codebooks",
         mapper.valueToTree(model.codebooks))
+    }
+    graph.lvq.foreach { model =>
+      val lv = root.putObject("lvq")
+      val _ = lv.set[com.fasterxml.jackson.databind.JsonNode]("center",
+        mapper.valueToTree(model.center))
     }
     graft.index.SegmentCatalog.publishJson(spark, s"$dir/meta.json",
       mapper.writeValueAsBytes(root))
@@ -1183,12 +1315,21 @@ object Nsw {
       transform(col("v"), x => x.cast("float")).as("v"), col("nbrs"),
       (if (raw.columns.contains("entry")) col("entry") else lit(false))
         .as("entry"))
+    val lvqModel =
+      if (mNode.has("lvq")) {
+        val cn2 = mNode.get("lvq").get("center")
+        Some(Lvq.Model(Array.tabulate(cn2.size())(cn2.get(_).asDouble())))
+      } else None
     val withCodes = pqModel.isDefined && raw.columns.contains("code")
-    val cols = if (withCodes) baseCols :+ col("code") else baseCols
+    val withLvq = lvqModel.isDefined && raw.columns.contains("lu")
+    val cols = baseCols ++
+      (if (withCodes) Seq(col("code")) else Nil) ++
+      (if (withLvq) Seq(col("lu"), col("lbias"), col("lscale")) else Nil)
     val adj = raw.select(cols: _*)
     // clusterLocal = false: the scan's split planning knows nothing about
     // cluster boundaries — search must reassemble probed clusters
     Graph(adj, centroids, params, clusterLocal = false, deleted = deleted,
-      pq = if (withCodes) pqModel else None)
+      pq = if (withCodes) pqModel else None,
+      lvq = if (withLvq) lvqModel else None)
   }
 }

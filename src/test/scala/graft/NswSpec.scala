@@ -572,6 +572,71 @@ class NswSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"key").as[Long].collect().toSeq == bruteTop(emb, q2, 10))
   }
 
+  test("LVQ-fused traversal: near-lossless beam, exact scores, round-trips, re-attach") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(48)
+    val emb = clustered(rnd, 2000, 32, 8).toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, emb, "vec_id", "embedding",
+      Nsw.Params(m = 8, efConstruction = 48, kCenters = 8, iters = 2))
+    val g = Nsw.attachLvq(spark, g0) // 32+8 bytes/node vs 128 (float32)
+    assert(g.lvq.isDefined && g.adj.columns.contains("lu"))
+    val queries = (801 to 810).map(s => randVec(new scala.util.Random(s), 32))
+    def recallOf(run: Seq[Float] => Set[Long]): Double = {
+      val hits = queries.map { q =>
+        val truth = bruteTop(emb, q, 10).toSet
+        (truth & run(q)).size
+      }.sum
+      hits / (10.0 * queries.size)
+    }
+    val rExact = recallOf(q => Nsw.topK(g, q, 10, nProbe = 4, ef = 48)
+      .select($"key").as[Long].collect().toSet)
+    val m = new Nsw.SearchMetrics
+    val rFused = recallOf(q => Nsw.topKFusedLvq(g, q, 10, nProbe = 4, ef = 48,
+      metrics = if (q == queries.head) m else null)
+      .select($"key").as[Long].collect().toSet)
+    info(f"recall@10 nProbe=4 ef=48: exact-vector beam $rExact%.3f, LVQ-fused $rFused%.3f")
+    assert(m.visited > 0)
+    // the LVQ tier is near-lossless: the fused beam must track the exact
+    // beam much tighter than PQ's 0.08 allowance
+    assert(rFused >= rExact - 0.02,
+      f"LVQ-fused recall $rFused%.3f fell below exact $rExact%.3f - 0.02")
+    // returned scores are exact cosine where both paths return a key
+    val q0 = queries.head
+    val ex = Nsw.topK(g, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toMap
+    val fu = Nsw.topKFusedLvq(g, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toMap
+    val common = ex.keySet & fu.keySet
+    assert(common.nonEmpty && common.forall(k => ex(k) == fu(k)))
+    // save/load round-trips the model + codes; fused search identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-lvq").toString
+    Nsw.save(spark, g, dir)
+    val loaded = Nsw.load(spark, dir)
+    assert(loaded.lvq.isDefined && loaded.pq.isEmpty)
+    assert(Nsw.topKFusedLvq(loaded, q0, 10, nProbe = 4, ef = 48)
+      .as[(Long, Double)].collect().toSeq ==
+      Nsw.topKFusedLvq(g, q0, 10, nProbe = 4, ef = 48)
+        .as[(Long, Double)].collect().toSeq)
+    // append drops LVQ codes (contract); re-attach with the same model
+    // reproduces unchanged nodes' codes byte-identically
+    val extra = (7000L until 7050L).map(i =>
+      (i, randVec(new scala.util.Random(i.toInt), 32)))
+      .toDF("vec_id", "embedding")
+    val appended = Nsw.append(spark, g, extra, "vec_id", "embedding")
+    assert(appended.lvq.isEmpty && !appended.adj.columns.contains("lu"))
+    val reattached = Nsw.attachLvqWith(spark, appended, g.lvq.get)
+    val oldCodes = g.adj.select($"key", $"lu").as[(Long, Array[Byte])]
+      .collect().toMap
+    val newCodes = reattached.adj.select($"key", $"lu").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(oldCodes.forall { case (k, c) =>
+      java.util.Arrays.equals(c, newCodes(k)) })
+    assert(newCodes.size == oldCodes.size + 50)
+    assert(Nsw.topKFusedLvq(reattached, q0, 10, nProbe = 4, ef = 48).count() == 10)
+    reattached.unpersist()
+    g.unpersist()
+  }
+
   test("fragmented loaded graph reassembles clusters before beam search") {
     import spark.implicits._
     // A load()ed graph's clusters arrive split across scan partitions at
