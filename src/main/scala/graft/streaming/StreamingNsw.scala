@@ -32,8 +32,53 @@ import graft.ops.Nsw
   * have none) — re-attach offline with `Nsw.attachPqWith`. */
 object StreamingNsw {
 
+  /** Live serving over a streaming-ingested graph — the reference IPC
+    * service's concurrent WRITE+SEARCH (IPCService.java:107-230 accepts
+    * writes and searches on one resident index): searches always run
+    * against the latest COMMITTED batch's graph. [[refresh]] retires the
+    * previous generation's cache with a one-generation grace (closed on
+    * the refresh after next), so a search racing a refresh never loses
+    * the arrays under its feet mid-query. */
+  final class LiveAnn private[streaming] (initial: graft.ops.HotAnn) {
+    @volatile private var hot = initial
+    private var retiring: graft.ops.HotAnn = null
+    private[streaming] def refresh(g: Nsw.Graph): Unit = synchronized {
+      if (retiring != null) retiring.close()
+      val next = graft.ops.HotAnn(g)
+      retiring = hot
+      hot = next
+    }
+    def topK(query: Seq[Float], k: Int, nProbe: Int, ef: Int,
+             metrics: Nsw.SearchMetrics = null): Array[(Long, Double)] =
+      hot.topK(query, k, nProbe, ef, metrics)
+    def threshold(query: Seq[Float], tau: Double, nProbe: Int,
+                  maxVisit: Int = Int.MaxValue): Array[(Long, Double)] =
+      hot.threshold(query, tau, nProbe, maxVisit)
+    def searchAfter(query: Seq[Float], k: Int, cursor: (Double, Long),
+                    nProbe: Int, ef: Int): Array[(Long, Double)] =
+      hot.searchAfter(query, k, cursor, nProbe, ef)
+    def close(): Unit = synchronized {
+      if (retiring != null) { retiring.close(); retiring = null }
+      hot.close()
+    }
+  }
+
+  /** Streaming ingestion + a live serving handle: the stream commits each
+    * micro-batch durably (touched partitions + meta, exactly-once) and
+    * the handle's searches see it as soon as the commit lands. Stop the
+    * query, then close the handle. */
+  def startServing(spark: SparkSession, vectors: DataFrame, keyCol: String,
+                   vecCol: String, dir: String, checkpoint: String)
+      : (StreamingQuery, LiveAnn) = {
+    val live = new LiveAnn(graft.ops.HotAnn(Nsw.load(spark, dir)))
+    val q = start(spark, vectors, keyCol, vecCol, dir, checkpoint,
+      onCommit = live.refresh)
+    (q, live)
+  }
+
   def start(spark: SparkSession, vectors: DataFrame, keyCol: String,
-            vecCol: String, dir: String, checkpoint: String): StreamingQuery = {
+            vecCol: String, dir: String, checkpoint: String,
+            onCommit: Nsw.Graph => Unit = _ => ()): StreamingQuery = {
     // resident graph: loaded once, replaced after each committed batch
     @volatile var graph = Nsw.load(spark, dir)
     @volatile var mark = Nsw.loadStreamBatch(spark, dir)
@@ -59,6 +104,7 @@ object StreamingNsw {
               Nsw.Graph(g.adj.persist(), g.centroids, g.params,
                 clusterLocal = false, deleted = g.deleted, pq = g.pq)
             } else next
+            onCommit(graph) // serving refresh hook (after the commit)
           } // else: empty batch — nothing appended, the mark still advances
           mark = batchId
         }

@@ -294,4 +294,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().map { case (u, n, e) => u -> ((n, e)) }.toMap
     assert(got == want)
   }
+
+  test("StreamingNsw.startServing: live searches see each committed batch (WRITE+SEARCH)") {
+    import spark.implicits._
+    import graft.ops.{Ann, Nsw}
+    val dir = java.nio.file.Files.createTempDirectory("graft-snsw-serve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snsw-serve-ckpt").toString
+    val rnd = new scala.util.Random(46)
+    val base = (0L until 300L).map(i => (i, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val g0 = Nsw.build(spark, baseDf, "vec_id", "embedding",
+      Nsw.Params(m = 6, efConstruction = 24, kCenters = 4, iters = 2))
+    Nsw.save(spark, g0, dir)
+    g0.unpersist()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val (q, live) = StreamingNsw.startServing(spark,
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir, ckpt)
+    def bruteOver(rows: Seq[(Long, Seq[Float])], qv: Seq[Float]): Seq[Long] = {
+      import spark.implicits._
+      Ann.bruteTopK(rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        qv, 10, Ann.Cosine).select($"key").as[Long].collect().toSeq
+    }
+    // pre-batch: the handle serves the saved base graph, exactly
+    def gvec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(12)(r.nextGaussian().toFloat)
+    }
+    val qv0 = gvec(7)
+    assert(live.topK(qv0, 10, nProbe = 4, ef = Int.MaxValue).map(_._1).toSeq
+      == bruteOver(base, qv0))
+    // batch 1 commits -> the SAME handle sees the union, exactly
+    val b1 = (5000L until 5040L).map(i => (i, gvec(i.toInt)))
+    mem.addData(b1)
+    q.processAllAvailable()
+    assert(live.topK(qv0, 10, nProbe = 4, ef = Int.MaxValue).map(_._1).toSeq
+      == bruteOver(base ++ b1, qv0))
+    // a written vector is findable by ITS OWN value at sim ~1
+    val probe = b1.head._2
+    val top = live.topK(probe, 1, nProbe = 4, ef = Int.MaxValue)
+    assert(top.head._1 == 5000L && top.head._2 > 0.9999)
+    // batch 2: a second refresh (exercises the one-generation retirement)
+    val b2 = (6000L until 6020L).map(i => (i, gvec(i.toInt)))
+    mem.addData(b2)
+    q.processAllAvailable()
+    assert(live.topK(qv0, 10, nProbe = 4, ef = Int.MaxValue).map(_._1).toSeq
+      == bruteOver(base ++ b1 ++ b2, qv0))
+    // the serving surfaces compose: threshold + pagination over the union
+    val page1 = live.topK(qv0, 5, nProbe = 4, ef = Int.MaxValue)
+    val page2 = live.searchAfter(qv0, 5, (page1.last._2, page1.last._1),
+      nProbe = 4, ef = Int.MaxValue)
+    assert((page1 ++ page2).map(_._1).toSeq ==
+      live.topK(qv0, 10, nProbe = 4, ef = Int.MaxValue).map(_._1).toSeq)
+    val tau = page1.last._2
+    val th = live.threshold(qv0, tau, nProbe = 4)
+    assert(th.map(_._1).toSeq == page1.map(_._1).toSeq,
+      "threshold at the 5th score must return exactly the top 5")
+    q.stop()
+    live.close()
+  }
 }
