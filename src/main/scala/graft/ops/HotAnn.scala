@@ -88,7 +88,11 @@ final class HotAnn private (
 
   /** Serving twin of [[Nsw.threshold]]: all keys with cosine >= tau in
     * the probed clusters, (sim desc, key asc). Same flood kernel, so
-    * results are identical at the same knobs (NswSpec parity). */
+    * results are identical at the same knobs (NswSpec parity). Results
+    * materialize on the DRIVER, so each probed cluster enforces the
+    * serving result cap (the `HotIndex.searchThreshold` guard): a tau
+    * that matches more than `Nsw.FilterSetCap` rows per cluster must use
+    * the distributed `Nsw.threshold` DataFrame path instead. */
   def threshold(query: Seq[Float], tau: Double, nProbe: Int,
                 maxVisit: Int = Int.MaxValue,
                 metrics: Nsw.SearchMetrics = null): Array[(Long, Double)] = {
@@ -108,6 +112,10 @@ final class HotAnn private (
             val (hits, visited) = Nsw.thresholdFlood(
               i => Nsw.cosineQF(q, ca.vecs(i)), ca.adj,
               ca.vecs.length, ca.entry, tauq, mv, accept)
+            require(hits.length <= Nsw.FilterSetCap,
+              s"threshold tau=$tauq matched ${hits.length} rows in one cluster, " +
+              s"beyond the serving materialization cap (${Nsw.FilterSetCap}); " +
+              "use the Nsw.threshold DataFrame path for broad-range queries")
             (hits.map { case (i, s) => (ca.keys(i), s) }, visited)
           },
         probes.toIndexedSeq)

@@ -248,6 +248,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Double)].collect().toSeq ==
       Lvq.topK(spark, codes, emb, "vec_id", "embedding", model, q0, 10, rerankFactor = 4)
         .as[(Long, Double)].collect().toSeq)
+    // constant RESIDUAL (range 0): scale 0, decode reproduces within
+    // float32 bias precision (one add per element)
+    val cv = model.center.map(_ + 0.3)
+    val (cu, cb2, cs2) = model.encodeOne(cv)
+    assert(cs2 < 1e-12f, s"near-zero residual range must give ~zero scale, got $cs2")
+    val dec = model.decodeOne(cu, cb2, cs2)
+    assert(cv.indices.forall(i => math.abs(dec(i) - cv(i)) < 1e-6))
+    // a future-versioned artifact must fail loudly, not misparse
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lvq.json")
+    val json = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    }
+    val out = fs.create(p, true)
+    out.write(json.replace("\"formatVersion\":1", "\"formatVersion\":99").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException](Lvq.load(spark, dir))
+    assert(e.getMessage.contains("unsupported"))
     Seq(emb, codes, bqCodes).foreach(_.unpersist())
   }
 
