@@ -208,8 +208,14 @@ object GateOps {
     * flood) are measured in NswSpec. */
   def annThreshold(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val g = Nsw.build(spark, emb, "vec_id", "embedding",
+    val built = Nsw.build(spark, emb, "vec_id", "embedding",
       Nsw.Params(m = 8, efConstruction = 32, kCenters = 8, iters = 2))
+    // persistence round-trip ON the gate (see annIvf/annGraph); also
+    // releases the built graph's cache instead of leaking it per call
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsw-th").toString
+    Nsw.save(spark, built, dir)
+    built.unpersist()
+    val g = Nsw.load(spark, dir)
     val res = Nsw.threshold(g, queryVec(spark, sfDir, 6), tau = 0.25,
       nProbe = g.params.kCenters, maxVisit = Int.MaxValue)
     res.select(col("key").as("vec_id"),
