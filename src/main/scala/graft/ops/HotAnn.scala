@@ -76,7 +76,12 @@ final class HotAnn private (
     * handle shares `parts` with this one (close() on either unpins both;
     * close exactly one). The membership-changing mutations (WRITE,
     * OPTIMIZE) need a full re-pin instead. */
-  def withDeleted(d: Set[Long]): HotAnn = new HotAnn(sc, parts, centroids, d)
+  def withDeleted(d: Set[Long]): HotAnn = {
+    require(d.size <= Nsw.FilterSetCap,
+      s"tombstone set of ${d.size} keys exceeds the serving closure cap " +
+      s"(${Nsw.FilterSetCap}); Nsw.compact the graph and re-pin instead")
+    new HotAnn(sc, parts, centroids, d)
+  }
 
   private def probesFor(q: Array[Double], nProbe: Int): Array[Int] =
     centroids.zipWithIndex.map { case (c, i) =>
@@ -169,6 +174,9 @@ object HotAnn {
     * partition (partition index == cluster id, so probe pruning is
     * partition selection), pinned in executor memory. */
   def apply(graph: Nsw.Graph): HotAnn = {
+    require(graph.deleted.length <= Nsw.FilterSetCap,
+      s"tombstone set of ${graph.deleted.length} keys exceeds the serving " +
+      s"closure cap (${Nsw.FilterSetCap}); Nsw.compact before pinning")
     val spark = graph.adj.sparkSession
     import spark.implicits._
     val k = math.max(1, graph.centroids.length)
