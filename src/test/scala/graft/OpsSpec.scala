@@ -115,11 +115,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pqCodes = Pq.encode(spark, emb, "vec_id", "embedding", pqModel)
     val bqModel = Bq.train(spark, emb, "vec_id", "embedding")
     val bqCodes = Bq.encode(spark, emb, "vec_id", "embedding", bqModel)
+    val lvqModel = Lvq.train(spark, emb, "vec_id", "embedding")
+    val lvqCodes = Lvq.encode(spark, emb, "vec_id", "embedding", lvqModel)
     val plans = Seq(
       "ann_brute" -> Ann.bruteTopK(emb, "vec_id", "embedding", q, 5, Ann.Cosine),
       "pq_topk" -> Pq.topK(spark, pqCodes, emb, "vec_id", "embedding", pqModel, q, 5),
       "pq_topk_dot" -> Pq.topKDot(spark, pqCodes, emb, "vec_id", "embedding", pqModel, q, 5),
       "bq_topk" -> Bq.topK(spark, bqCodes, emb, "vec_id", "embedding", bqModel, q, 5),
+      "lvq_topk" -> Lvq.topK(spark, lvqCodes, emb, "vec_id", "embedding", lvqModel, q, 5),
+      "lvq_topk_dot" -> Lvq.topKDot(spark, lvqCodes, emb, "vec_id", "embedding", lvqModel, q, 5),
       "dedup_embed" -> Dedup.embedCosinePairs(emb, "vec_id", "embedding", 0.9))
     plans.foreach { case (name, df) =>
       val p = df.queryExecution.analyzed.toString
