@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Nsw, Pq}
+import graft.ops.{Ann, Bq, Lvq, Nsw, Pq}
 
 /** Recall-vs-cost curves for the approximate ANN paths on a corpus HARDER
   * than the clustered test fixtures: overlapping Gaussian clusters plus a
@@ -102,13 +102,53 @@ object RecallProbe {
       nProbe -> r
     }
 
+    // Compression-tier sweep at equal rerank budgets (round 5): LVQ
+    // (1 byte/dim, per-vector adaptive) vs BQ (1 bit/dim) vs PQ-as-cosine
+    // is covered by OpsSpec; here the recall-vs-rerank curve for the two
+    // flat tiers against brute cosine, plus the LVQ-fused graph beam
+    val lvqModel = Lvq.train(spark, emb, "vec_id", "embedding")
+    val lvqCodes = Lvq.encode(spark, emb, "vec_id", "embedding", lvqModel).persist()
+    lvqCodes.count()
+    val lvqCurve = Seq(1, 2, 4).map { rf =>
+      val r = queryIds.map { qid =>
+        recall(Lvq.topK(spark, lvqCodes, emb, "vec_id", "embedding", lvqModel,
+          queries(qid), 10, rerankFactor = rf)
+          .select($"key").as[Long].collect().toSeq, bruteCos(qid))
+      }.sum / queryIds.size
+      rf -> r
+    }
+    val bqModel = Bq.train(spark, emb, "vec_id", "embedding")
+    val bqCodes = Bq.encode(spark, emb, "vec_id", "embedding", bqModel).persist()
+    bqCodes.count()
+    val bqCurve = Seq(1, 2, 4, 8, 16).map { rf =>
+      val r = queryIds.map { qid =>
+        recall(Bq.topK(spark, bqCodes, emb, "vec_id", "embedding", bqModel,
+          queries(qid), 10, rerankFactor = rf)
+          .select($"key").as[Long].collect().toSeq, bruteCos(qid))
+      }.sum / queryIds.size
+      rf -> r
+    }
+    val gLvq = Nsw.attachLvq(spark, g)
+    val lvqFusedCurve = Seq(16, 32, 64).map { ef =>
+      val r = queryIds.map { qid =>
+        recall(Nsw.topKFusedLvq(gLvq, queries(qid), 10, nProbe = 8, ef = ef)
+          .select($"key").as[Long].collect().toSeq, bruteCos(qid))
+      }.sum / queryIds.size
+      ef -> r
+    }
+
     val ij = ivfCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     val pj = pqCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     val nej = nswEfCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     val npj = nswProbeCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+    val lj = lvqCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+    val bj = bqCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+    val lfj = lvqFusedCurve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
     println(s"""{"docs":$n,"dim":$dim,"clusters":$kClusters,"outlier_frac":0.2,""" +
       s""""ivf_recall_at_nprobe":$ij,"pq_recall_at_rerank":$pj,""" +
-      s""""nsw_recall_at_ef_nprobe8":$nej,"nsw_recall_at_nprobe_ef64":$npj}""")
+      s""""nsw_recall_at_ef_nprobe8":$nej,"nsw_recall_at_nprobe_ef64":$npj,""" +
+      s""""lvq_recall_at_rerank":$lj,"bq_recall_at_rerank":$bj,""" +
+      s""""nsw_lvqfused_recall_at_ef_nprobe8":$lfj}""")
     spark.stop()
   }
 }
